@@ -1,0 +1,76 @@
+"""North-star parity test (BASELINE.json:5): alpha from the Flax/TPU network
+must match the CPU torch oracle to <=1e-3 MAD at 512x512 (PR1 workload,
+BASELINE.json:7), with shared weights and randomized BN stats."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from vidmat.config import ModelConfig
+from vidmat.models.matting_net import MattingNetwork, init_state
+from vidmat.models.torch_oracle import TorchMattingNetwork
+from vidmat.models.weights import (init_params, load_into_torch,
+                                   randomize_bn_stats)
+from vidmat.utils.metrics import mad
+
+TOL = 1e-3
+
+
+def _run_pair(cfg: ModelConfig, h=512, w=512, seed=0, state_pair=None):
+    variables = randomize_bn_stats(init_params(cfg, seed=seed), seed=seed + 1)
+    oracle = TorchMattingNetwork(cfg)
+    load_into_torch(oracle, variables)
+
+    rng = np.random.RandomState(seed + 2)
+    frame = rng.rand(1, h, w, cfg.in_channels).astype(np.float32)
+
+    net = MattingNetwork(cfg)
+    jstate, tstate = state_pair if state_pair else (None, None)
+    with jax.default_matmul_precision("float32"):
+        ja, jf, jns = net.apply(variables, jnp.asarray(frame), jstate)
+
+    tframe = torch.from_numpy(frame).permute(0, 3, 1, 2)
+    ta, tf, tns = oracle(tframe, tstate)
+    return (np.asarray(ja), np.asarray(jf), jns,
+            ta.permute(0, 2, 3, 1).numpy(), tf.permute(0, 2, 3, 1).numpy(),
+            tns)
+
+
+def test_image_parity_512():
+    """PR1: plain RGB single-image matting at 512x512."""
+    ja, jf, _, ta, tf, _ = _run_pair(ModelConfig(recurrent=False))
+    assert mad(ja, ta) <= TOL, f"alpha MAD {mad(ja, ta)}"
+    assert mad(jf, tf) <= TOL, f"fgr MAD {mad(jf, tf)}"
+
+
+def test_image_parity_trimap():
+    """PR1 trimap variant: 4-channel input, known regions pinned."""
+    cfg = ModelConfig(recurrent=False, use_trimap=True)
+    ja, jf, _, ta, tf, _ = _run_pair(cfg, h=256, w=256, seed=7)
+    assert mad(ja, ta) <= TOL
+    assert mad(jf, tf) <= TOL
+
+
+def test_recurrent_step_parity():
+    """One recurrent step from zero state: outputs AND new state must match
+    (state drift compounds over frames — SURVEY.md §7 risk list)."""
+    cfg = ModelConfig(recurrent=True)
+    h = w = 128
+    jstate = init_state(cfg, 1, h, w)
+    tstate = None  # oracle lazily zero-inits
+    ja, jf, jns, ta, tf, tns = _run_pair(cfg, h=h, w=w, seed=3,
+                                         state_pair=(jstate, tstate))
+    assert mad(ja, ta) <= TOL
+    assert mad(jf, tf) <= TOL
+    for jh, th in zip([jns.h3, jns.h2, jns.h1], tns):
+        assert mad(np.asarray(jh), th.permute(0, 2, 3, 1).numpy()) <= TOL
+
+
+def test_nonsquare_parity():
+    """Non-square input (bucketed video shapes are rarely square)."""
+    ja, jf, _, ta, tf, _ = _run_pair(ModelConfig(recurrent=False),
+                                     h=192, w=320, seed=11)
+    assert mad(ja, ta) <= TOL

@@ -1,0 +1,22 @@
+"""vidmat — TPU-native video matting framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+video-matting pipeline (tangih/video-matting): video in -> per-frame alpha
+matte + foreground out.
+
+Design (see SURVEY.md):
+  - Flax encoder-decoder matting network with ConvGRU temporal recurrence,
+    jit-compiled for TPU (NHWC layout, MXU-friendly convs).
+  - Fused Pallas kernels for frame ingest (resize/normalize/pack), guided
+    filter alpha refinement, tile overlap-blend, and RGBA compositing.
+  - Recurrent state resident in HBM across frames (lax.scan chunked stepper).
+  - Multi-stream serving via jax.sharding Mesh + shard_map.
+
+Reference citation note: /root/reference was empty at build time (SURVEY.md §0);
+behavior is built to the driver-pinned workload ladder in BASELINE.json:6-12.
+"""
+
+__version__ = "0.1.0"
+
+from vidmat.api import convert_video, matte_image, MattingSession  # noqa: F401
+from vidmat.config import ModelConfig, PipelineConfig, StreamConfig  # noqa: F401

@@ -1,0 +1,94 @@
+"""Public API: video in -> per-frame alpha matte + foreground out.
+
+The reference's exact entry-point names are [UNKNOWN] (empty tree,
+SURVEY.md §0/§1.2); this is the clean API the survey plans, shaped like the
+RVM-lineage ``convert_video`` contract the driver ladder implies.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional, Tuple, Union
+
+import numpy as np
+
+from vidmat.config import ModelConfig, PipelineConfig, RefineConfig
+
+
+def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
+                variables=None, cfg: Optional[ModelConfig] = None,
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-image matting (BASELINE.json:7 PR1 workload).
+
+    image:  (H, W, 3) float [0,1] or uint8 RGB. H, W need not be /16 —
+            padded internally.
+    trimap: optional (H, W) float {0, 0.5, 1}.
+    Returns (alpha (H, W, 1), fgr (H, W, 3)) float32 in [0,1].
+    """
+    from vidmat.pipeline.stepper import ImageStepper
+
+    if cfg is None:
+        cfg = ModelConfig(recurrent=False, use_trimap=trimap is not None)
+    stepper = ImageStepper(cfg, variables=variables)
+    return stepper(image, trimap)
+
+
+def convert_video(input_source: Union[str, Iterable[np.ndarray]],
+                  output_alpha: Optional[str] = None,
+                  output_foreground: Optional[str] = None,
+                  output_composition: Optional[str] = None,
+                  bg_color: Tuple[float, float, float] = (0.0, 1.0, 0.0),
+                  downsample_ratio: Optional[float] = None,
+                  variables=None,
+                  model_cfg: Optional[ModelConfig] = None,
+                  pipe_cfg: Optional[PipelineConfig] = None,
+                  progress: bool = False) -> dict:
+    """Convert a video to alpha / foreground / composited streams.
+
+    input_source: path to a video file, or an iterator of (H, W, 3) uint8
+        RGB frames.
+    output_*: optional output paths (any subset). Without any, frames are
+        processed and metrics returned (benchmark mode).
+    downsample_ratio: coarse-pass scale; None = auto from resolution
+        (BASELINE.json:10).
+    Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
+    """
+    from vidmat.pipeline.video import VideoPipeline
+
+    pipeline = VideoPipeline(
+        model_cfg=model_cfg or ModelConfig(),
+        pipe_cfg=pipe_cfg,
+        variables=variables,
+        downsample_ratio=downsample_ratio,
+        bg_color=bg_color if output_composition else None,
+    )
+    return pipeline.run(input_source, output_alpha=output_alpha,
+                        output_foreground=output_foreground,
+                        output_composition=output_composition,
+                        progress=progress)
+
+
+class MattingSession:
+    """Streaming API: push frames, pull (alpha, fgr); temporal state is
+    carried on-device between calls (BASELINE.json:8).
+
+    >>> sess = MattingSession()
+    >>> for frame in frames:
+    ...     alpha, fgr = sess.step(frame)
+    """
+
+    def __init__(self, height: int, width: int,
+                 variables=None, model_cfg: Optional[ModelConfig] = None,
+                 downsample_ratio: float = 1.0, dtype: str = "float32"):
+        from vidmat.pipeline.stepper import VideoStepper
+
+        self._stepper = VideoStepper(
+            model_cfg or ModelConfig(), height, width,
+            variables=variables, downsample_ratio=downsample_ratio,
+            dtype=dtype)
+
+    def step(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        return self._stepper.step(frame)
+
+    def reset(self) -> None:
+        """Reset temporal state (scene cut / new stream)."""
+        self._stepper.reset()

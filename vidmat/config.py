@@ -1,0 +1,122 @@
+"""Typed configuration system for vidmat.
+
+The reference (empty at survey time — SURVEY.md §0) is reconstructed as an
+argparse-driven research repo; the rebuild uses typed dataclasses with presets
+matching the five driver workload rungs (BASELINE.json:6-12).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for the recurrent matting network.
+
+    Channel plan is CPU-oracle-sized (BASELINE.json:7 pins a CNN small enough
+    for a CPU forward pass) while staying MXU-friendly (plain 3x3 convs,
+    channels that tile well onto 128-lane registers after im2col).
+    """
+
+    # Encoder channels at strides 2/4/8/16.
+    enc_channels: Tuple[int, int, int, int] = (16, 24, 40, 64)
+    # Decoder channels at strides 8/4/2/1.
+    dec_channels: Tuple[int, int, int, int] = (48, 32, 24, 16)
+    # Trimap variant: extra input channel carrying {0, 0.5, 1}.
+    use_trimap: bool = False
+    # Recurrent ConvGRU on half the channels of each decoder stage (RVM-style
+    # split-half recurrence [DOMAIN, SURVEY.md §1.1]).
+    recurrent: bool = True
+    bn_eps: float = 1e-5
+
+    @property
+    def in_channels(self) -> int:
+        return 4 if self.use_trimap else 3
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Alpha refinement options (BASELINE.json:5 names guided-filter and
+    error-map upsampling as the refinement paths)."""
+
+    mode: str = "guided"  # "none" | "guided" | "errormap"
+    guided_radius: int = 4
+    guided_eps: float = 1e-4
+    # error-map path: number of worst 8x8 patches refined at full res
+    errormap_patches: int = 256
+    errormap_patch_size: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Video pipeline configuration."""
+
+    # Coarse-pass scale: network runs at round(H*r) x round(W*r); refinement
+    # restores full res (BASELINE.json:10 "downsample-ratio coarse pass").
+    downsample_ratio: float = 1.0
+    # Frames per jitted scan chunk (amortizes dispatch, keeps state on-device).
+    chunk_size: int = 1
+    # Compute dtype for the conv path. Parity mode forces float32.
+    dtype: str = "bfloat16"
+    refine: RefineConfig = dataclasses.field(default_factory=RefineConfig)
+    # 4K tiling (BASELINE.json:10): tile size and overlap at full res.
+    tile_size: Optional[int] = None  # None = no tiling
+    tile_overlap: int = 64
+    # Background for compositing: None = export alpha+fgr only.
+    composite_bg: Optional[Tuple[float, float, float]] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    """Multi-stream serving configuration (BASELINE.json:11)."""
+
+    num_streams: int = 8
+    height: int = 1088  # padded 1080p (divisible-by-16 canonical bucket)
+    width: int = 1920
+    downsample_ratio: float = 0.25
+
+
+# ---- Presets: one per BASELINE.json workload rung ----
+
+def preset_pr1_image() -> tuple[ModelConfig, PipelineConfig]:
+    """512x512 single-image matting, optional trimap (BASELINE.json:7)."""
+    return ModelConfig(recurrent=False), PipelineConfig(
+        downsample_ratio=1.0, dtype="float32",
+        refine=RefineConfig(mode="none"))
+
+
+def preset_clip_480p() -> tuple[ModelConfig, PipelineConfig]:
+    """100-frame 480p clip with temporal propagation (BASELINE.json:8)."""
+    return ModelConfig(), PipelineConfig(
+        downsample_ratio=1.0, chunk_size=10, refine=RefineConfig(mode="none"))
+
+
+def preset_video_1080p() -> tuple[ModelConfig, PipelineConfig]:
+    """1080p recurrent + guided-filter refinement (BASELINE.json:9)."""
+    return ModelConfig(), PipelineConfig(
+        downsample_ratio=0.25, chunk_size=4,
+        refine=RefineConfig(mode="guided"))
+
+
+def preset_video_4k() -> tuple[ModelConfig, PipelineConfig]:
+    """4K tiled inference with overlap blending (BASELINE.json:10)."""
+    return ModelConfig(), PipelineConfig(
+        downsample_ratio=0.125, chunk_size=1,
+        refine=RefineConfig(mode="guided"), tile_size=1024, tile_overlap=128)
+
+
+def preset_multistream() -> tuple[ModelConfig, PipelineConfig, StreamConfig]:
+    """8 concurrent 1080p streams (BASELINE.json:11)."""
+    m, p = preset_video_1080p()
+    return m, p, StreamConfig()
+
+
+PRESETS = {
+    "pr1_image": preset_pr1_image,
+    "clip_480p": preset_clip_480p,
+    "video_1080p": preset_video_1080p,
+    "video_4k": preset_video_4k,
+    "multistream": preset_multistream,
+}

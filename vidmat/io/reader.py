@@ -1,0 +1,118 @@
+"""Host-side video/image decode with a prefetch ring.
+
+The codec work (container demux + entropy decode) has no TPU equivalent and
+stays on host (SURVEY.md §2.1); everything after "decoded RGB bytes" runs
+on-device. To keep the chip fed at 1080p (>200 fps target, BASELINE.json:5)
+decode runs on a background thread pushing into a bounded queue — the device
+loop never blocks on the decoder in steady state (SURVEY.md §7 "feeding the
+chip").
+
+Fault handling (SURVEY.md §5 failure detection): a corrupt frame is skipped
+and reported; the pipeline holds the last temporal state rather than
+aborting the stream.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional, Tuple, Union
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover - cv2 is present in the target image
+    _HAS_CV2 = False
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read an image file -> (H, W, 3) uint8 RGB (or (H, W) for grayscale
+    trimaps)."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return img
+    import imageio.v3 as iio
+
+    return iio.imread(path)
+
+
+class VideoReader:
+    """Iterates (H, W, 3) uint8 RGB frames from a video file."""
+
+    def __init__(self, path: str):
+        if not _HAS_CV2:
+            raise RuntimeError("cv2 unavailable; pass a frame iterator "
+                               "instead of a path")
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise FileNotFoundError(path)
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            ok, frame = self.cap.read()
+            if not ok:
+                break
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        self.cap.release()
+
+    def close(self) -> None:
+        self.cap.release()
+
+
+class FrameSource:
+    """Threaded prefetching frame source over any frame iterable.
+
+    Concurrency model (SURVEY.md §5 race detection): a single producer
+    thread and a bounded queue; no shared mutable state beyond the queue —
+    the handoff is the synchronization point.
+
+    ``fault_hook`` (testing): callable(frame_idx, frame) -> frame | raise;
+    used to inject decode faults (SURVEY.md §5 fault injection).
+    """
+
+    _END = object()
+
+    def __init__(self, frames: Union[str, Iterable[np.ndarray]],
+                 prefetch: int = 8, fault_hook=None):
+        if isinstance(frames, str):
+            reader = VideoReader(frames)
+            self.fps = reader.fps
+            self.frames: Iterable[np.ndarray] = reader
+        else:
+            self.fps = 30.0
+            self.frames = frames
+        self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self.fault_hook = fault_hook
+        self.dropped = 0
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self) -> None:
+        try:
+            for i, frame in enumerate(self.frames):
+                if self.fault_hook is not None:
+                    try:
+                        frame = self.fault_hook(i, frame)
+                    except Exception:
+                        self.dropped += 1
+                        continue  # skip corrupt frame, keep stream alive
+                self.q.put(frame)
+        finally:
+            self.q.put(self._END)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self.q.get()
+            if item is self._END:
+                break
+            yield item

@@ -1,0 +1,162 @@
+"""The flagship recurrent matting network (Flax, NHWC, TPU-first).
+
+Capability parity targets (reference tree was empty — SURVEY.md §0 — so these
+are pinned to the driver ladder, BASELINE.json:6-12):
+  - single-image matting, optionally trimap-conditioned (BASELINE.json:7)
+  - frame-to-frame temporal propagation via recurrent hidden state
+    (BASELINE.json:8-9)
+  - coarse-pass inference at a downsample ratio with full-res refinement
+    handled by the refine stage (BASELINE.json:10)
+
+Architecture (RVM-lineage [DOMAIN], re-designed for the MXU):
+  encoder: conv stem + 3 conv stages at strides 2/4/8/16
+  bottleneck: LR-ASPP-style global gate
+  decoder: 3 upsample stages with skip concat + split-half ConvGRU
+           (recurrent state = the GRU half-channels at strides 8/4/2),
+           final full-res stage conditioned on the raw frame
+  heads: alpha (1ch) + foreground residual (3ch)
+
+The temporal state is a pytree of three feature maps; the pipeline keeps it
+resident in HBM across frames (BASELINE.json:5 "temporal propagation state
+kept resident in HBM").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vidmat.config import ModelConfig
+from vidmat.models.layers import BottleneckGate, ConvBNAct, ConvGRUCell
+from vidmat.ops.resize import upsample2x
+
+
+class RecurrentState(NamedTuple):
+    """Per-stream temporal state: ConvGRU hidden maps at strides 8/4/2.
+
+    Shapes for an (N, H, W, 3) input:
+      h3: (N, H/8,  W/8,  dec_channels[0] // 2)
+      h2: (N, H/4,  W/4,  dec_channels[1] // 2)
+      h1: (N, H/2,  W/2,  dec_channels[2] // 2)
+    """
+
+    h3: jax.Array
+    h2: jax.Array
+    h1: jax.Array
+
+
+def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
+               dtype=jnp.float32) -> RecurrentState:
+    """Zero-initialized temporal state for a (batch, height, width) stream."""
+    d = cfg.dec_channels
+    return RecurrentState(
+        h3=jnp.zeros((batch, height // 8, width // 8, d[0] // 2), dtype),
+        h2=jnp.zeros((batch, height // 4, width // 4, d[1] // 2), dtype),
+        h1=jnp.zeros((batch, height // 2, width // 2, d[2] // 2), dtype),
+    )
+
+
+class Encoder(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        c = self.cfg.enc_channels
+        eps = self.cfg.bn_eps
+        f1 = ConvBNAct(c[0], stride=2, bn_eps=eps, name="stem")(x)
+        f2 = ConvBNAct(c[1], stride=2, bn_eps=eps, name="s2a")(f1)
+        f2 = ConvBNAct(c[1], stride=1, bn_eps=eps, name="s2b")(f2)
+        f3 = ConvBNAct(c[2], stride=2, bn_eps=eps, name="s3a")(f2)
+        f3 = ConvBNAct(c[2], stride=1, bn_eps=eps, name="s3b")(f3)
+        f4 = ConvBNAct(c[3], stride=2, bn_eps=eps, name="s4a")(f3)
+        f4 = ConvBNAct(c[3], stride=1, bn_eps=eps, name="s4b")(f4)
+        return f1, f2, f3, f4
+
+
+class DecoderStage(nn.Module):
+    """Upsample 2x -> concat skip -> conv -> split-half ConvGRU.
+
+    The GRU runs on the second half of the channels only (RVM-style): the
+    first half is a pure feed-forward path, which halves recurrence FLOPs and
+    keeps the carried state small in HBM.
+    """
+
+    features: int
+    recurrent: bool
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array,
+                 h: Optional[jax.Array]):
+        x = upsample2x(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = ConvBNAct(self.features, bn_eps=self.bn_eps, name="conv")(x)
+        if not self.recurrent:
+            return x, None
+        a, b = jnp.split(x, 2, axis=-1)
+        if h is None:
+            h = jnp.zeros_like(b)
+        h_new = ConvGRUCell(self.features // 2, name="gru")(b, h)
+        return jnp.concatenate([a, h_new], axis=-1), h_new
+
+
+class MattingNetwork(nn.Module):
+    """Recurrent encoder-decoder matting network.
+
+    __call__(frame, state) -> (alpha, fgr, new_state)
+      frame: (N, H, W, 3) RGB in [0, 1]; H, W divisible by 16.
+             Trimap variant: (N, H, W, 4), last channel {0, 0.5, 1}.
+      state: RecurrentState or None (None = cold start, zeros).
+      alpha: (N, H, W, 1) in [0, 1]
+      fgr:   (N, H, W, 3) in [0, 1]
+    """
+
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, frame: jax.Array,
+                 state: Optional[RecurrentState] = None):
+        cfg = self.cfg
+        d = cfg.dec_channels
+        eps = cfg.bn_eps
+        rec = cfg.recurrent
+        rgb = frame[..., :3]
+
+        f1, f2, f3, f4 = Encoder(cfg, name="encoder")(frame)
+        b4 = BottleneckGate(cfg.enc_channels[3], bn_eps=eps,
+                            name="bottleneck")(f4)
+
+        h3 = h2 = h1 = None
+        if state is not None:
+            h3, h2, h1 = state.h3, state.h2, state.h1
+
+        x, n3 = DecoderStage(d[0], rec, eps, name="d3")(b4, f3, h3)
+        x, n2 = DecoderStage(d[1], rec, eps, name="d2")(x, f2, h2)
+        x, n1 = DecoderStage(d[2], rec, eps, name="d1")(x, f1, h1)
+
+        # Full-res stage: upsample + condition on the raw frame (no GRU at
+        # full res — state stays small).
+        x = upsample2x(x)
+        x = jnp.concatenate([x, rgb], axis=-1)
+        x = ConvBNAct(d[3], bn_eps=eps, name="d0")(x)
+
+        out = nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)), name="head")(x)
+        alpha = jnp.clip(out[..., 0:1], 0.0, 1.0)
+        fgr = jnp.clip(out[..., 1:4] + rgb, 0.0, 1.0)
+
+        if cfg.use_trimap and frame.shape[-1] >= 4:
+            # Trimap-conditioned matting: known fg/bg regions are pinned and
+            # only the unknown band is predicted (Deep-Image-Matting-lineage
+            # behavior [DOMAIN]).
+            tri = frame[..., 3:4]
+            alpha = jnp.where(tri >= 0.75, 1.0,
+                              jnp.where(tri <= 0.25, 0.0, alpha))
+
+        if rec:
+            new_state = RecurrentState(h3=n3, h2=n2, h1=n1)
+        else:
+            new_state = state
+        return alpha, fgr, new_state

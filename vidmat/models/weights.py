@@ -1,0 +1,196 @@
+"""Weight initialization, Flax<->torch conversion, and orbax checkpointing.
+
+The torch-weight bridge is mandatory for the <=1e-3 MAD parity goal
+(BASELINE.json:5; SURVEY.md §5 checkpoint/resume): the same parameter values
+must drive both the Flax network and the CPU torch oracle.
+
+Conversion is mechanical because module names mirror each other:
+  flax  params['encoder']['stem']['conv']['kernel']   (H, W, I, O)
+  torch 'encoder.stem.conv.weight'                    (O, I, H, W)
+  flax  BatchNorm {scale, bias} + batch_stats {mean, var}
+  torch bn.{weight, bias, running_mean, running_var}
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidmat.config import ModelConfig
+
+
+def init_params(cfg: ModelConfig = ModelConfig(), seed: int = 0,
+                height: int = 64, width: int = 64) -> Dict[str, Any]:
+    """Initialize Flax variables {'params', 'batch_stats'} for the network.
+
+    Conv kernels use Flax defaults (lecun_normal); shapes are resolution-
+    independent so any H, W divisible by 16 works for tracing.
+    """
+    from vidmat.models.matting_net import MattingNetwork, init_state
+
+    net = MattingNetwork(cfg)
+    rng = jax.random.PRNGKey(seed)
+    frame = jnp.zeros((1, height, width, cfg.in_channels), jnp.float32)
+    state = init_state(cfg, 1, height, width) if cfg.recurrent else None
+    variables = net.init(rng, frame, state)
+    return variables
+
+
+def randomize_bn_stats(variables: Dict[str, Any], seed: int = 1,
+                       ) -> Dict[str, Any]:
+    """Replace the (0, 1) init BN running stats with random ones.
+
+    Used by parity tests so a BatchNorm ordering/eps bug can't hide behind
+    identity-stats normalization.
+    """
+    rng = np.random.RandomState(seed)
+    stats = jax.tree_util.tree_map(lambda x: x, variables["batch_stats"])
+
+    def walk(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v)
+            elif k == "mean":
+                d[k] = jnp.asarray(
+                    rng.normal(0, 0.1, v.shape).astype(np.float32))
+            elif k == "var":
+                d[k] = jnp.asarray(
+                    rng.uniform(0.5, 1.5, v.shape).astype(np.float32))
+
+    stats = jax.tree_util.tree_map(np.asarray, stats)
+    stats = jax.tree_util.tree_map(jnp.asarray, stats)
+    stats = _to_mutable(stats)
+    walk(stats)
+    return {"params": variables["params"], "batch_stats": stats}
+
+
+def _to_mutable(d):
+    if isinstance(d, dict) or hasattr(d, "items"):
+        return {k: _to_mutable(v) for k, v in d.items()}
+    return d
+
+
+def flax_to_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flatten Flax variables into a torch state_dict (numpy values)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk_params(d, prefix):
+        for k, v in d.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict) or hasattr(v, "items"):
+                walk_params(v, path)
+                continue
+            v = np.asarray(v)
+            parent, leaf = path.rsplit(".", 1) if "." in path else ("", path)
+            if leaf == "kernel":  # conv (H, W, I, O) -> (O, I, H, W)
+                out[f"{parent}.weight"] = np.transpose(v, (3, 2, 0, 1))
+            elif leaf == "scale":  # BN gamma
+                out[f"{parent}.weight"] = v
+            elif leaf == "bias":
+                out[f"{parent}.bias"] = v
+            else:
+                raise KeyError(f"unhandled flax param leaf: {path}")
+
+    def walk_stats(d, prefix):
+        for k, v in d.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict) or hasattr(v, "items"):
+                walk_stats(v, path)
+                continue
+            v = np.asarray(v)
+            parent, leaf = path.rsplit(".", 1)
+            if leaf == "mean":
+                out[f"{parent}.running_mean"] = v
+            elif leaf == "var":
+                out[f"{parent}.running_var"] = v
+            else:
+                raise KeyError(f"unhandled flax batch_stat leaf: {path}")
+
+    walk_params(variables["params"], "")
+    walk_stats(variables["batch_stats"], "")
+    return out
+
+
+def torch_to_flax_variables(state_dict: Dict[str, Any],
+                            template: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse bridge: import a torch state_dict into Flax variables shaped
+    like ``template`` (tools/import_torch_weights.py uses this to load
+    reference .pth checkpoints when/if they appear; SURVEY.md §5)."""
+    state = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def fill_params(d, prefix):
+        out = {}
+        for k, v in d.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict) or hasattr(v, "items"):
+                out[k] = fill_params(v, path)
+                continue
+            parent = path.rsplit(".", 1)[0]
+            leaf = path.rsplit(".", 1)[1]
+            if leaf == "kernel":
+                out[k] = jnp.asarray(
+                    np.transpose(state[f"{parent}.weight"], (2, 3, 1, 0)))
+            elif leaf == "scale":
+                out[k] = jnp.asarray(state[f"{parent}.weight"])
+            elif leaf == "bias":
+                out[k] = jnp.asarray(state[f"{parent}.bias"])
+            else:
+                raise KeyError(path)
+        return out
+
+    def fill_stats(d, prefix):
+        out = {}
+        for k, v in d.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict) or hasattr(v, "items"):
+                out[k] = fill_stats(v, path)
+                continue
+            parent = path.rsplit(".", 1)[0]
+            name = {"mean": "running_mean", "var": "running_var"}[
+                path.rsplit(".", 1)[1]]
+            out[k] = jnp.asarray(state[f"{parent}.{name}"])
+        return out
+
+    return {"params": fill_params(template["params"], ""),
+            "batch_stats": fill_stats(template["batch_stats"], "")}
+
+
+def load_into_torch(torch_module, variables: Dict[str, Any]) -> None:
+    """Load Flax variables into the torch oracle module in-place."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch_state(variables).items()}
+    # num_batches_tracked buffers are torch-only bookkeeping; keep existing.
+    current = torch_module.state_dict()
+    for k in current:
+        if k.endswith("num_batches_tracked"):
+            sd[k] = current[k]
+    torch_module.load_state_dict(sd)
+    torch_module.eval()
+
+
+# ---- orbax checkpoint io (SURVEY.md §5 checkpoint/resume) ----
+
+def save_checkpoint(path: str, variables: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, variables, force=True)
+
+
+def load_checkpoint(path: str,
+                    template: Optional[Dict[str, Any]] = None
+                    ) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, item=template)
+    return ckptr.restore(path)

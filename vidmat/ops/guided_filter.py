@@ -1,0 +1,106 @@
+"""Guided filter for alpha refinement (He et al. guided filter [DOMAIN];
+BASELINE.json:5,9 pin "guided-filter alpha refinement").
+
+Edge-aware upsampling of a coarse alpha matte using the full-resolution RGB
+frame (gray-projected guide) as the edge prior:
+
+  q = mean(a) * I + mean(b),  a = cov(I, p) / (var(I) + eps),  b = mean(p) - a * mean(I)
+
+Two implementations:
+  - ``guided_filter``: pure-XLA box filters via cumulative sums. XLA fuses
+    the elementwise algebra; the cumsum runs on the VPU. This is the default
+    (SURVEY.md §7: pure-XLA first, Pallas where the profile says so).
+  - ``vidmat.ops.pallas.gf_kernel``: fused Pallas kernel for the box-filter
+    passes (hot path at 1080p/4K).
+
+All arrays NHWC float.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _box_filter(x: jax.Array, r: int) -> jax.Array:
+    """Box sum with window (2r+1)^2, edge-truncated (each output is the MEAN
+    over valid in-window pixels), via integral images. NHWC, O(HW)."""
+    n, h, w, c = x.shape
+    # Normalizer (# valid pixels per window) is separable: rows(i) * cols(j).
+    # Computing it as an outer product avoids a full-image reduce-window that
+    # XLA otherwise constant-folds at O(seconds) compile cost.
+    def counts(size: int) -> jax.Array:
+        idx = jnp.arange(size)
+        return (jnp.minimum(idx + r + 1, size)
+                - jnp.maximum(idx - r, 0)).astype(x.dtype)
+    norm = (counts(h)[:, None] * counts(w)[None, :])[None, :, :, None]
+    return _box_sum(x, r) / norm
+
+
+def _box_sum(x: jax.Array, r: int) -> jax.Array:
+    # Integral image: pad a leading zero row/col so S[i] - S[i-k] windows work.
+    ii = jnp.cumsum(jnp.cumsum(x, axis=1), axis=2)
+    ii = jnp.pad(ii, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    n, h1, w1, c = ii.shape
+    h, w = h1 - 1, w1 - 1
+    # Window rows [i-r, i+r] clamped -> integral indices hi=min(i+r+1, h),
+    # lo=max(i-r, 0); same for cols.
+    ri = jnp.arange(h)
+    ci = jnp.arange(w)
+    hi_r = jnp.minimum(ri + r + 1, h)
+    lo_r = jnp.maximum(ri - r, 0)
+    hi_c = jnp.minimum(ci + r + 1, w)
+    lo_c = jnp.maximum(ci - r, 0)
+    a = ii[:, hi_r][:, :, hi_c]
+    b = ii[:, lo_r][:, :, hi_c]
+    c_ = ii[:, hi_r][:, :, lo_c]
+    d = ii[:, lo_r][:, :, lo_c]
+    return a - b - c_ + d
+
+
+def guided_filter(guide: jax.Array, src: jax.Array, radius: int = 4,
+                  eps: float = 1e-4) -> jax.Array:
+    """Filter ``src`` guided by ``guide`` (single-channel guide).
+
+    guide: (N, H, W, 1) — typically gray-projected RGB.
+    src:   (N, H, W, C) — alpha (C=1) or alpha+fgr stacked.
+    """
+    f32 = jnp.float32
+    I = guide.astype(f32)
+    p = src.astype(f32)
+    mean_I = _box_filter(I, radius)
+    mean_p = _box_filter(p, radius)
+    corr_Ip = _box_filter(I * p, radius)
+    corr_II = _box_filter(I * I, radius)
+    var_I = corr_II - mean_I * mean_I
+    cov_Ip = corr_Ip - mean_I * mean_p
+    a = cov_Ip / (var_I + eps)
+    b = mean_p - a * mean_I
+    mean_a = _box_filter(a, radius)
+    mean_b = _box_filter(b, radius)
+    return (mean_a * I + mean_b).astype(src.dtype)
+
+
+def gray_guide(rgb: jax.Array) -> jax.Array:
+    """Luma projection used as the guided-filter guide. NHWC (..., 3) -> (..., 1)."""
+    w = jnp.array([0.299, 0.587, 0.114], rgb.dtype)
+    return jnp.sum(rgb * w, axis=-1, keepdims=True)
+
+
+def guided_upsample(rgb_full: jax.Array, alpha_lr: jax.Array,
+                    fgr_lr: jax.Array, radius: int = 4, eps: float = 1e-4
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Upsample coarse (alpha, fgr) to the full-res grid with a guided filter
+    (BASELINE.json:10 'downsample-ratio coarse pass + full-res refine').
+    """
+    from vidmat.ops.resize import resize_bilinear
+
+    n, h, w, _ = rgb_full.shape
+    alpha_up = resize_bilinear(alpha_lr, h, w)
+    fgr_up = resize_bilinear(fgr_lr, h, w)
+    guide = gray_guide(rgb_full)
+    stacked = jnp.concatenate([alpha_up, fgr_up], axis=-1)
+    out = guided_filter(guide, stacked, radius, eps)
+    alpha = jnp.clip(out[..., 0:1], 0.0, 1.0)
+    fgr = jnp.clip(out[..., 1:4], 0.0, 1.0)
+    return alpha, fgr

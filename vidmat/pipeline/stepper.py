@@ -1,0 +1,140 @@
+"""Jitted inference steppers.
+
+``ImageStepper`` — single-image matting (PR1 workload, BASELINE.json:7).
+``VideoStepper`` — per-frame recurrent stepping with the temporal state held
+as device arrays between calls, so steady-state per-frame cost is pure conv
+compute (BASELINE.json:5); the only host<->device traffic per frame is the
+decoded RGB in and the matte/fgr out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidmat.config import ModelConfig
+from vidmat.models.matting_net import MattingNetwork, init_state
+from vidmat.models.weights import init_params
+from vidmat.ops.guided_filter import guided_upsample
+from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+
+
+def pad_to_multiple(x: np.ndarray, m: int = 16) -> Tuple[np.ndarray, int, int]:
+    """Edge-pad HWC image so H, W are multiples of m (static-shape bucketing,
+    SURVEY.md §7 'avoiding retraces'). Returns (padded, orig_h, orig_w)."""
+    h, w = x.shape[:2]
+    ph = (-h) % m
+    pw = (-w) % m
+    if ph or pw:
+        x = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return x, h, w
+
+
+def to_float_rgb(image: np.ndarray) -> np.ndarray:
+    """uint8 or float HWC -> float32 [0,1]."""
+    if image.dtype == np.uint8:
+        return image.astype(np.float32) / 255.0
+    return image.astype(np.float32)
+
+
+class ImageStepper:
+    """Single-image matting: pad -> one jitted fp32 forward -> crop."""
+
+    def __init__(self, cfg: ModelConfig, variables=None):
+        self.cfg = cfg
+        self.net = MattingNetwork(cfg)
+        self.variables = variables if variables is not None else init_params(cfg)
+
+        @jax.jit
+        def fwd(variables, frame):
+            with jax.default_matmul_precision("float32"):
+                alpha, fgr, _ = self.net.apply(variables, frame, None)
+            return alpha, fgr
+
+        self._fwd = fwd
+
+    def __call__(self, image: np.ndarray,
+                 trimap: Optional[np.ndarray] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        img = to_float_rgb(image)
+        if self.cfg.use_trimap:
+            if trimap is None:
+                raise ValueError("model config requires a trimap input")
+            tri = to_float_rgb(trimap)
+            if tri.ndim == 2:
+                tri = tri[..., None]
+            img = np.concatenate([img, tri], axis=-1)
+        padded, h, w = pad_to_multiple(img)
+        alpha, fgr = self._fwd(self.variables, jnp.asarray(padded)[None])
+        alpha = np.asarray(alpha)[0, :h, :w]
+        fgr = np.asarray(fgr)[0, :h, :w]
+        return alpha, fgr
+
+
+class VideoStepper:
+    """Streaming recurrent stepper for a fixed (height, width) stream.
+
+    downsample_ratio < 1 runs the net on a coarse grid and restores full
+    resolution with the guided filter (BASELINE.json:9-10).
+    """
+
+    def __init__(self, cfg: ModelConfig, height: int, width: int,
+                 variables=None, downsample_ratio: float = 1.0,
+                 dtype: str = "float32", guided_radius: int = 4,
+                 guided_eps: float = 1e-4):
+        if height % 16 or width % 16:
+            raise ValueError("height/width must be multiples of 16 "
+                             "(pad with pipeline.stepper.pad_to_multiple)")
+        self.cfg = cfg
+        self.h, self.w = height, width
+        self.ratio = downsample_ratio
+        self.net = MattingNetwork(cfg)
+        self.variables = variables if variables is not None else init_params(cfg)
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+        if downsample_ratio < 1.0:
+            self.net_h, self.net_w = downsample_ratio_shape(
+                height, width, downsample_ratio)
+        else:
+            self.net_h, self.net_w = height, width
+
+        net_h, net_w = self.net_h, self.net_w
+        full = (net_h, net_w) == (height, width)
+        cdtype = self.dtype
+
+        @jax.jit
+        def step(variables, frame, state):
+            # frame: (1, H, W, 3) float32 [0,1] device-resident
+            x = frame.astype(cdtype)
+            if not full:
+                x = resize_bilinear(x, net_h, net_w)
+            alpha, fgr, new_state = self.net.apply(variables, x, state)
+            if not full:
+                alpha, fgr = guided_upsample(
+                    frame, alpha.astype(jnp.float32),
+                    fgr.astype(jnp.float32), guided_radius, guided_eps)
+            return alpha.astype(jnp.float32), fgr.astype(jnp.float32), new_state
+
+        self._step = step
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = (init_state(self.cfg, 1, self.net_h, self.net_w,
+                                 self.dtype)
+                      if self.cfg.recurrent else None)
+
+    def step(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """frame: (H, W, 3) uint8 or float RGB. Returns host alpha, fgr."""
+        f = jnp.asarray(to_float_rgb(frame))[None]
+        alpha, fgr, self.state = self._step(self.variables, f, self.state)
+        return np.asarray(alpha)[0], np.asarray(fgr)[0]
+
+    def step_device(self, frame: jax.Array):
+        """Device-to-device step (used by the video pipeline driver to avoid
+        host round-trips): frame (1,H,W,3) float32 -> (alpha, fgr) device."""
+        alpha, fgr, self.state = self._step(self.variables, frame, self.state)
+        return alpha, fgr

@@ -1,0 +1,168 @@
+"""Full video pipeline driver: decode -> device steady-state -> encode.
+
+Layer L5 of the plan (SURVEY.md §1.2). Steady-state design (BASELINE.json:5):
+  - host decode thread feeds a prefetch queue (vidmat.io.FrameSource)
+  - per-frame device step is one jitted call: ingest (resize/normalize) ->
+    recurrent net -> guided-filter refine -> composite; recurrent state never
+    leaves HBM
+  - a one-frame software pipeline overlaps D2H readback + host encode of
+    frame t-1 with device compute of frame t
+  - writers consume from bounded queues on their own threads
+
+Per-frame host work is limited to the H2D enqueue of decoded uint8 RGB —
+normalization, resize, packing all happen on-device (zero host-side per-frame
+preprocessing, BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidmat.config import ModelConfig, PipelineConfig
+from vidmat.models.matting_net import MattingNetwork, init_state
+from vidmat.models.weights import init_params
+from vidmat.ops.composite import composite_rgba
+from vidmat.ops.guided_filter import guided_upsample
+from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+from vidmat.io.reader import FrameSource
+from vidmat.io.writer import VideoWriter
+from vidmat.utils.metrics import RunMetrics
+
+
+def auto_downsample_ratio(h: int, w: int) -> float:
+    """Coarse-pass ratio heuristic: aim the network at ~512px on the short
+    side (RVM-style auto ratio [DOMAIN])."""
+    short = min(h, w)
+    if short <= 512:
+        return 1.0
+    return max(0.125, 512.0 / short)
+
+
+class VideoPipeline:
+    """End-to-end video matting (BASELINE.json:8-10 rungs)."""
+
+    def __init__(self, model_cfg: ModelConfig = ModelConfig(),
+                 pipe_cfg: Optional[PipelineConfig] = None,
+                 variables=None, downsample_ratio: Optional[float] = None,
+                 bg_color: Optional[Tuple[float, float, float]] = None):
+        self.model_cfg = model_cfg
+        self.pipe_cfg = pipe_cfg or PipelineConfig()
+        self.variables = (variables if variables is not None
+                          else init_params(model_cfg))
+        self.downsample_ratio = downsample_ratio
+        self.bg_color = bg_color
+        self.net = MattingNetwork(model_cfg)
+        self._compiled = {}
+
+    def _build_step(self, h: int, w: int, ratio: float):
+        """One jitted device step for a (h, w) stream at a coarse ratio."""
+        cfg = self.pipe_cfg
+        cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        net_h, net_w = ((h, w) if ratio >= 1.0
+                        else downsample_ratio_shape(h, w, ratio))
+        full = (net_h, net_w) == (h, w)
+        refine = cfg.refine
+        bg = (jnp.asarray(self.bg_color, jnp.float32)
+              if self.bg_color is not None else None)
+        net = self.net
+
+        @jax.jit
+        def step(variables, frame_u8, state):
+            # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
+            frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
+            x = frame.astype(cdtype)
+            if not full:
+                x = resize_bilinear(x, net_h, net_w)
+            alpha, fgr, new_state = net.apply(variables, x, state)
+            alpha = alpha.astype(jnp.float32)
+            fgr = fgr.astype(jnp.float32)
+            if not full:
+                if refine.mode == "guided":
+                    alpha, fgr = guided_upsample(
+                        frame, alpha, fgr, refine.guided_radius,
+                        refine.guided_eps)
+                else:
+                    alpha = resize_bilinear(alpha, h, w)
+                    fgr = resize_bilinear(fgr, h, w)
+            rgba = composite_rgba(fgr, alpha, bg)
+            alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
+            fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
+            return alpha_u8, fgr_u8, rgba, new_state
+
+        return step, (net_h, net_w)
+
+    def run(self, input_source: Union[str, Iterable[np.ndarray]],
+            output_alpha: Optional[str] = None,
+            output_foreground: Optional[str] = None,
+            output_composition: Optional[str] = None,
+            progress: bool = False) -> dict:
+        source = FrameSource(input_source)
+        metrics = RunMetrics()
+        writers = {}
+        step = None
+        state = None
+        pending = None  # (device outputs of previous frame) — 1-frame pipeline
+
+        def flush(outs):
+            alpha_u8, fgr_u8, rgba = outs
+            if "alpha" in writers:
+                writers["alpha"].write(np.asarray(alpha_u8)[0])
+            if "fgr" in writers:
+                writers["fgr"].write(np.asarray(fgr_u8)[0])
+            if "comp" in writers:
+                writers["comp"].write(np.asarray(rgba)[0])
+
+        n = 0
+        t_prev = time.perf_counter()
+        for frame in source:
+            if step is None:
+                fh, fw = frame.shape[:2]
+                ratio = (self.downsample_ratio if self.downsample_ratio
+                         is not None else auto_downsample_ratio(fh, fw))
+                ph, pw = fh + ((-fh) % 16), fw + ((-fw) % 16)
+                step, (net_h, net_w) = self._build_step(ph, pw, ratio)
+                cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
+                          else jnp.float32)
+                state = (init_state(self.model_cfg, 1, net_h, net_w, cdtype)
+                         if self.model_cfg.recurrent else None)
+                if output_alpha:
+                    writers["alpha"] = VideoWriter(output_alpha, source.fps)
+                if output_foreground:
+                    writers["fgr"] = VideoWriter(output_foreground, source.fps)
+                if output_composition:
+                    writers["comp"] = VideoWriter(output_composition,
+                                                  source.fps)
+                self._crop = (fh, fw)
+                self._pad = (ph - fh, pw - fw)
+
+            if self._pad != (0, 0):
+                frame = np.pad(frame, ((0, self._pad[0]), (0, self._pad[1]),
+                                       (0, 0)), mode="edge")
+            dev_frame = jnp.asarray(frame)[None]
+            alpha_u8, fgr_u8, rgba, state = step(self.variables, dev_frame,
+                                                 state)
+            if pending is not None:
+                flush(pending)  # overlap: host writes frame t-1 while device
+                # computes frame t
+            pending = (alpha_u8, fgr_u8, rgba)
+            n += 1
+            t_now = time.perf_counter()
+            metrics.record_frame(t_now - t_prev)
+            t_prev = t_now
+            if progress and n % 50 == 0:
+                print(f"frame {n}", flush=True)
+
+        if pending is not None:
+            jax.block_until_ready(pending)
+            flush(pending)
+        for wtr in writers.values():
+            wtr.close()
+        out = metrics.summary()
+        out["frames"] = n
+        out["dropped_frames"] = source.dropped
+        return out
