@@ -1,0 +1,103 @@
+"""Benchmark: 1080p recurrent matting throughput on one TPU chip.
+
+Headline metric (BASELINE.json:2): 1080p frames/sec/chip, with p50 per-frame
+latency. The reference publishes no numbers (BASELINE.md — empty tree,
+``"published": {}``), so ``vs_baseline`` is measured against the driver's
+pinned rebuild target of 200 fps/chip (BASELINE.json:5).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The measured pipeline is the real serving step (BASELINE.json:9 rung):
+uint8 1080p frame H2D -> on-device ingest (normalize + coarse resize) ->
+recurrent net (bf16) -> guided-filter refine to full res -> composite ->
+alpha u8 D2H. Temporal state stays in HBM across frames.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from vidmat.config import ModelConfig, RefineConfig
+    from vidmat.models.matting_net import MattingNetwork, init_state
+    from vidmat.models.weights import init_params
+    from vidmat.ops.composite import composite_rgba
+    from vidmat.ops.guided_filter import guided_upsample
+    from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+
+    h, w = (288, 512) if quick else (1088, 1920)
+    ratio = 0.375 if quick else 0.25
+    frames_timed = 30 if quick else 120
+
+    cfg = ModelConfig()
+    net = MattingNetwork(cfg)
+    variables = init_params(cfg)
+    net_h, net_w = downsample_ratio_shape(h, w, ratio)
+    refine = RefineConfig()
+    cdtype = jnp.bfloat16
+
+    @jax.jit
+    def step(variables, frame_u8, state):
+        frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
+        x = resize_bilinear(frame.astype(cdtype), net_h, net_w)
+        alpha, fgr, new_state = net.apply(variables, x, state)
+        alpha, fgr = guided_upsample(frame, alpha.astype(jnp.float32),
+                                     fgr.astype(jnp.float32),
+                                     refine.guided_radius, refine.guided_eps)
+        rgba = composite_rgba(fgr, alpha, None)
+        alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
+        return alpha_u8, rgba, new_state
+
+    # Host frames: a small ring of synthetic 1080p frames (decode stand-in).
+    rng = np.random.RandomState(0)
+    ring = [rng.randint(0, 255, (1, h, w, 3), np.uint8) for _ in range(4)]
+
+    state = init_state(cfg, 1, net_h, net_w, cdtype)
+    # Warmup / compile
+    alpha_u8, rgba, state = step(variables, jnp.asarray(ring[0]), state)
+    jax.block_until_ready(alpha_u8)
+
+    lat = []
+    pending = None
+    t_start = time.perf_counter()
+    for i in range(frames_timed):
+        t0 = time.perf_counter()
+        alpha_u8, rgba, state = step(variables, jnp.asarray(ring[i % 4]),
+                                     state)
+        if pending is not None:
+            np.asarray(pending)  # D2H of previous frame's alpha (overlapped)
+        pending = alpha_u8
+        lat.append(time.perf_counter() - t0)
+    np.asarray(pending)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t_start
+
+    fps = frames_timed / wall
+    p50_ms = float(np.percentile(np.array(lat), 50) * 1e3)
+    device = str(jax.devices()[0])
+    target_fps = 200.0  # BASELINE.json:5 rebuild target; no published ref #s
+    result = {
+        "metric": f"{'480p' if quick else '1080p'} recurrent matting "
+                  "throughput (frames/sec/chip)",
+        "value": round(fps, 2),
+        "unit": "fps/chip",
+        "vs_baseline": round(fps / target_fps, 3),
+        "p50_ms": round(p50_ms, 2),
+        "device": device,
+        "resolution": f"{w}x{h}",
+        "downsample_ratio": ratio,
+        "dtype": "bfloat16",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

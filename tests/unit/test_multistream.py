@@ -1,0 +1,73 @@
+"""Multi-stream serving tests on the virtual 8-device CPU mesh
+(BASELINE.json:11; SURVEY.md §4 'multi-device tests without a cluster')."""
+
+import numpy as np
+
+import jax
+
+from vidmat.config import ModelConfig
+from vidmat.io.fixtures import synthetic_frames_only
+from vidmat.parallel.mesh import make_mesh
+from vidmat.parallel.multistream import MultiStreamMatting
+
+
+def test_multistream_matches_single_stream():
+    """8 streams batched over the mesh must produce the same mattes as
+    stepping each stream alone (streams are independent)."""
+    cfg = ModelConfig()
+    h = w = 64
+    mesh = make_mesh(("stream",), (8,))
+    ms = MultiStreamMatting(8, h, w, cfg=cfg, mesh=mesh, dtype="float32")
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (8, h, w, 3), np.uint8) for _ in range(3)]
+    outs = [ms.step(f)[0] for f in frames]
+
+    # Reference: stream 5 alone through an unsharded 1-stream instance.
+    one = MultiStreamMatting(1, h, w, cfg=cfg, variables=ms.variables,
+                             dtype="float32")
+    for t, f in enumerate(frames):
+        a1, _ = one.step(f[5:6])
+        np.testing.assert_allclose(outs[t][5], a1[0], atol=1)
+
+
+def test_multistream_reset_isolation():
+    """Resetting one stream's state must not perturb the others."""
+    cfg = ModelConfig()
+    h = w = 48
+    ms = MultiStreamMatting(4, h, w, cfg=cfg, dtype="float32")
+    rng = np.random.RandomState(1)
+    f = rng.randint(0, 255, (4, h, w, 3), np.uint8)
+    ms.step(f)  # warm state
+    # continue without reset
+    ms2 = MultiStreamMatting(4, h, w, cfg=cfg, variables=ms.variables,
+                             dtype="float32")
+    ms2.step(f)
+    reset = np.array([False, True, False, False])
+    a_reset, _ = ms.step(f, reset)
+    a_plain, _ = ms2.step(f, np.zeros(4, bool))
+    # unreset streams identical
+    for i in (0, 2, 3):
+        np.testing.assert_array_equal(a_reset[i], a_plain[i])
+    # reset stream == cold start on that frame... verify vs fresh instance
+    cold = MultiStreamMatting(1, h, w, cfg=cfg, variables=ms.variables,
+                              dtype="float32")
+    cold.step(f[1:2])  # first step from zero state != warm continuation
+    a_cold, _ = cold.step(f[1:2], np.array([True]))  # re-reset then step
+    np.testing.assert_array_equal(a_reset[1], a_cold[0])
+
+
+def test_multistream_serve_stream_end():
+    """A stream ending early must not stall the batch (per-stream isolation,
+    SURVEY.md §5)."""
+    cfg = ModelConfig()
+    h, w = 48, 64
+    ms = MultiStreamMatting(2, h, w, cfg=cfg, dtype="float32")
+    srcs = [list(synthetic_frames_only(h, w, 6)),
+            list(synthetic_frames_only(h, w, 3, seed=2))]  # second ends early
+    got = []
+    summary = ms.serve(srcs, on_output=lambda i, n, a, o: got.append((i, n)))
+    assert summary["batch_steps"] >= 6
+    # stream 0 delivered all 6 frames; stream 1 stopped at 3
+    assert len([1 for i, n in got if i == 0]) == 6
+    assert len([1 for i, n in got if i == 1]) == 3

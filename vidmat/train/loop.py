@@ -1,0 +1,139 @@
+"""Training loop: optax step over temporal clips, sharded over a device mesh.
+
+The full train step scans the recurrent net over T frames (truncated BPTT
+through the ConvGRU state), computes the matting loss, and applies an optax
+update. Sharding (SURVEY.md §2.2):
+  - batch (clips) sharded over the 'data' mesh axis — pure DP, gradients
+    psum-reduced by XLA from the sharding annotations;
+  - frame W dim optionally sharded over 'spatial' — GSPMD spatial
+    partitioning of convs (halo exchanges inserted by XLA over ICI), the
+    conv-net equivalent of sequence/context parallelism for large frames;
+  - params replicated (the net is CPU-oracle-sized; TP is not warranted —
+    SURVEY.md §2.2 disposition).
+
+jax.checkpoint on the per-frame step trades FLOPs for memory in BPTT
+(HBM-bandwidth note in the task brief).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vidmat.config import ModelConfig
+from vidmat.models.matting_net import MattingNetwork, init_state
+from vidmat.train.losses import matting_loss
+
+
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    variables: Dict[str, Any]  # {'params', 'batch_stats'}
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+
+
+def make_train_step(cfg: ModelConfig, optimizer=None,
+                    mesh: Optional[Mesh] = None,
+                    remat: bool = True):
+    """Build the jitted train step.
+
+    train_step(state, clips, gt_alpha, gt_fgr) -> (state, metrics)
+      clips:    (T, N, H, W, 3) float32
+      gt_alpha: (T, N, H, W, 1)
+      gt_fgr:   (T, N, H, W, 3)
+    """
+    net = MattingNetwork(cfg)
+    optimizer = optimizer or make_optimizer()
+
+    def forward_clip(params, batch_stats, clips):
+        variables = {"params": params, "batch_stats": batch_stats}
+        t, n, h, w, _ = clips.shape
+        state0 = init_state(cfg, n, h, w, clips.dtype)
+
+        def frame_step(state, x):
+            alpha, fgr, new_state = net.apply(variables, x, state)
+            return new_state, (alpha, fgr)
+
+        if remat:
+            frame_step = jax.checkpoint(frame_step)
+        _, (alphas, fgrs) = jax.lax.scan(frame_step, state0, clips)
+        return alphas, fgrs
+
+    def loss_fn(params, batch_stats, clips, gt_alpha, gt_fgr):
+        alphas, fgrs = forward_clip(params, batch_stats, clips)
+        loss, terms = matting_loss(alphas, fgrs, gt_alpha, gt_fgr, clips)
+        return loss, terms
+
+    def train_step(state: TrainState, clips, gt_alpha, gt_fgr):
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.variables["params"], state.variables["batch_stats"],
+            clips, gt_alpha, gt_fgr)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.variables["params"])
+        params = optax.apply_updates(state.variables["params"], updates)
+        new_state = TrainState(
+            variables={"params": params,
+                       "batch_stats": state.variables["batch_stats"]},
+            opt_state=opt_state, step=state.step + 1)
+        metrics = {"loss": loss, **terms}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step)
+
+    # Sharded: batch over 'data', width over 'spatial' (if present), params
+    # replicated. XLA inserts psum for grads and halo exchange for convs.
+    axes = mesh.axis_names
+    data_ax = "data" if "data" in axes else axes[0]
+    sp_ax = "spatial" if "spatial" in axes else None
+    clip_spec = P(None, data_ax, None, sp_ax, None)
+    alpha_spec = clip_spec
+    repl = NamedSharding(mesh, P())
+    data_shard = NamedSharding(mesh, clip_spec)
+
+    return jax.jit(
+        train_step,
+        in_shardings=(None, data_shard, NamedSharding(mesh, alpha_spec),
+                      data_shard),
+        out_shardings=(None, None),
+    )
+
+
+def train_on_clips(cfg: ModelConfig, data_iter, num_steps: int = 100,
+                   lr: float = 1e-4, mesh: Optional[Mesh] = None,
+                   variables=None, log_every: int = 10,
+                   callback=None) -> TrainState:
+    """Drive the train step over an iterator of
+    (clips, gt_alpha, gt_fgr) numpy batches."""
+    from vidmat.models.weights import init_params
+
+    optimizer = make_optimizer(lr)
+    variables = variables if variables is not None else init_params(cfg)
+    opt_state = optimizer.init(variables["params"])
+    state = TrainState(variables=variables, opt_state=opt_state)
+    step_fn = make_train_step(cfg, optimizer, mesh=mesh)
+
+    for i in range(num_steps):
+        clips, gt_alpha, gt_fgr = next(data_iter)
+        state, metrics = step_fn(state, jnp.asarray(clips),
+                                 jnp.asarray(gt_alpha), jnp.asarray(gt_fgr))
+        if callback is not None:
+            callback(i, jax.device_get(metrics))
+        elif i % log_every == 0:
+            m = jax.device_get(metrics)
+            print(f"step {i}: loss={float(m['loss']):.4f} "
+                  f"alpha={float(m['alpha']):.4f}", flush=True)
+    return state
