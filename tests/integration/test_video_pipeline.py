@@ -1,0 +1,76 @@
+"""Integration tests: full decode->composite pipeline on synthetic clips
+(SURVEY.md §4 integration tier)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import vidmat
+from vidmat.config import ModelConfig, PipelineConfig, RefineConfig
+from vidmat.io.fixtures import synthetic_frames_only
+
+
+def test_convert_video_writes_all_streams():
+    frames = list(synthetic_frames_only(96, 128, 8))
+    d = tempfile.mkdtemp()
+    paths = {k: os.path.join(d, f"{k}.mp4")
+             for k in ("alpha", "fgr", "comp")}
+    m = vidmat.convert_video(frames, output_alpha=paths["alpha"],
+                             output_foreground=paths["fgr"],
+                             output_composition=paths["comp"],
+                             downsample_ratio=1.0)
+    assert m["frames"] == 8
+    import cv2
+
+    for k, p in paths.items():
+        cap = cv2.VideoCapture(p)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8, k
+        cap.release()
+
+
+def test_convert_video_coarse_guided():
+    """downsample-ratio coarse pass + guided-filter full-res refine
+    (BASELINE.json:9-10)."""
+    frames = list(synthetic_frames_only(128, 160, 5))
+    m = vidmat.convert_video(frames, downsample_ratio=0.5)
+    assert m["frames"] == 5
+
+
+def test_convert_video_errormap_mode():
+    """Error-map patch refinement path (BASELINE.json:5)."""
+    frames = list(synthetic_frames_only(128, 192, 4))
+    pipe = PipelineConfig(refine=RefineConfig(mode="errormap",
+                                              errormap_patches=8,
+                                              errormap_patch_size=16))
+    m = vidmat.convert_video(frames, downsample_ratio=0.5, pipe_cfg=pipe)
+    assert m["frames"] == 4
+
+
+def test_fault_injection_skips_frames():
+    """Decode faults must drop frames, not kill the stream (SURVEY.md §5)."""
+    from vidmat.io.reader import FrameSource
+    from vidmat.pipeline.video import VideoPipeline
+
+    def fault(i, frame):
+        if i == 2:
+            raise ValueError("synthetic decode fault")
+        return frame
+
+    frames = list(synthetic_frames_only(96, 128, 6))
+    src = FrameSource(frames, fault_hook=fault)
+    pipe = VideoPipeline(downsample_ratio=1.0)
+    m = pipe.run(src.__iter__())
+    assert m["frames"] == 5  # one frame dropped by the fault hook
+
+
+def test_matting_session_streaming():
+    """MattingSession: push-frame streaming API with state reset."""
+    sess = vidmat.MattingSession(96, 128)
+    frames = list(synthetic_frames_only(96, 128, 4))
+    a1 = [sess.step(f)[0] for f in frames]
+    sess.reset()
+    a2 = [sess.step(f)[0] for f in frames]
+    np.testing.assert_array_equal(a1[0], a2[0])  # reset => cold-start repro
+    assert a1[0].shape == (96, 128, 1)

@@ -57,6 +57,14 @@ class VideoPipeline:
         self.downsample_ratio = downsample_ratio
         self.bg_color = bg_color
         self.net = MattingNetwork(model_cfg)
+        self._refiner = None
+        self._refiner_vars = None
+        if self.pipe_cfg.refine.mode == "errormap":
+            from vidmat.refine.errormap import ErrorMapRefiner
+
+            self._refiner = ErrorMapRefiner(
+                num_patches=self.pipe_cfg.refine.errormap_patches,
+                patch_size=self.pipe_cfg.refine.errormap_patch_size)
         self._compiled = {}
 
     def _build_step(self, h: int, w: int, ratio: float):
@@ -70,6 +78,17 @@ class VideoPipeline:
         bg = (jnp.asarray(self.bg_color, jnp.float32)
               if self.bg_color is not None else None)
         net = self.net
+        refiner = None
+        if self._refiner is not None and (net_h, net_w) != (h, w):
+            import jax.random as jrandom
+
+            if self._refiner_vars is None:
+                self._refiner_vars = self._refiner.init(
+                    jrandom.PRNGKey(0),
+                    jnp.zeros((1, h, w, 3), jnp.float32),
+                    jnp.zeros((1, net_h, net_w, 3), jnp.float32),
+                    jnp.zeros((1, net_h, net_w, 1), jnp.float32))
+            refiner = (self._refiner, self._refiner_vars)
 
         @jax.jit
         def step(variables, frame_u8, state):
@@ -86,6 +105,11 @@ class VideoPipeline:
                     alpha, fgr = guided_upsample(
                         frame, alpha, fgr, refine.guided_radius,
                         refine.guided_eps)
+                elif refine.mode == "errormap" and refiner is not None:
+                    x32 = x.astype(jnp.float32)
+                    alpha, _err = refiner[0].apply(refiner[1], frame, x32,
+                                                   alpha)
+                    fgr = resize_bilinear(fgr, h, w)
                 else:
                     alpha = resize_bilinear(alpha, h, w)
                     fgr = resize_bilinear(fgr, h, w)
