@@ -44,14 +44,33 @@ def main() -> None:
     refine = RefineConfig()
     cdtype = jnp.bfloat16
 
+    # Integer pool factor => the fused Pallas ingest kernel (area
+    # downsample) applies; otherwise fall back to bilinear resize.
+    pool = h // net_h if (h % net_h == 0 and w % net_w == 0
+                          and h // net_h == w // net_w) else 0
+    use_pallas = jax.default_backend() == "tpu"
+
+    from vidmat.ops.pallas import (composite_rgba_packed,
+                                   ingest_pool_normalize)
+
     @jax.jit
     def step(variables, frame_u8, state):
+        if use_pallas and pool:
+            x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype)
+        else:
+            frame32 = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
+            x = resize_bilinear(frame32.astype(cdtype), net_h, net_w)
         frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
-        x = resize_bilinear(frame.astype(cdtype), net_h, net_w)
         alpha, fgr, new_state = net.apply(variables, x, state)
         alpha, fgr = guided_upsample(frame, alpha.astype(jnp.float32),
                                      fgr.astype(jnp.float32),
-                                     refine.guided_radius, refine.guided_eps)
+                                     refine.guided_radius, refine.guided_eps,
+                                     impl="pallas" if use_pallas else "xla")
+        if use_pallas:
+            # Packed RGBA words: alpha rides the high byte; host unpacks by
+            # zero-copy view (ops.pallas.composite_kernel.unpack_rgba_host).
+            packed = composite_rgba_packed(fgr, alpha, None)
+            return packed, packed, new_state
         rgba = composite_rgba(fgr, alpha, None)
         alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
         return alpha_u8, rgba, new_state

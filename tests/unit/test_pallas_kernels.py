@@ -1,0 +1,85 @@
+"""Pallas kernel tests vs jnp/numpy oracles in interpreter mode
+(SURVEY.md §5: Pallas interpret=True as the kernel sanitizer)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidmat.ops.composite import composite_rgba
+from vidmat.ops.guided_filter import _box_filter
+from vidmat.ops.pallas import (composite_rgba_packed, guided_filter_coeffs,
+                               ingest_pool_normalize)
+from vidmat.ops.pallas.composite_kernel import unpack_rgba_host
+
+
+def test_composite_kernel_matches_oracle():
+    rng = np.random.RandomState(0)
+    fgr = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    alpha = jnp.asarray(rng.rand(2, 32, 128, 1).astype(np.float32))
+    for bg in (None, jnp.array([0.0, 1.0, 0.0])):
+        packed = composite_rgba_packed(fgr, alpha, bg, interpret=True)
+        got = unpack_rgba_host(np.asarray(packed))
+        want = np.asarray(composite_rgba(fgr, alpha, bg))
+        assert np.abs(got.astype(int) - want.astype(int)).max() == 0
+
+
+def test_ingest_kernel_area_pool():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (1, 64, 128, 3), np.uint8)
+    for pool in (1, 2, 4):
+        out = np.asarray(ingest_pool_normalize(
+            jnp.asarray(img), pool=pool, out_dtype=jnp.float32,
+            interpret=True))
+        ref = img.astype(np.float32).reshape(
+            1, 64 // pool, pool, 128 // pool, pool, 3).mean((2, 4)) / 255.0
+        assert np.abs(out - ref).max() < 1e-5, f"pool {pool}"
+
+
+def test_ingest_kernel_custom_normalization():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (1, 32, 128, 3), np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    scale = 1.0 / (255.0 * std)
+    offset = -mean / std
+    out = np.asarray(ingest_pool_normalize(
+        jnp.asarray(img), pool=1, scale=scale, offset=offset,
+        out_dtype=jnp.float32, interpret=True))
+    ref = (img.astype(np.float32) / 255.0 - mean) / std
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_gf_kernel_matches_box_filter_oracle():
+    rng = np.random.RandomState(3)
+    g = jnp.asarray(rng.rand(1, 32, 48, 1).astype(np.float32))
+    p = jnp.asarray(rng.rand(1, 32, 48, 4).astype(np.float32))
+    r, eps = 3, 1e-4
+    ma, mb = guided_filter_coeffs(g, p, radius=r, eps=eps, interpret=True)
+    I = g
+    mean_I = _box_filter(I, r)
+    mean_p = _box_filter(p, r)
+    corr_Ip = _box_filter(I * p, r)
+    corr_II = _box_filter(I * I, r)
+    var_I = corr_II - mean_I * mean_I
+    cov = corr_Ip - mean_I * mean_p
+    a = cov / (var_I + eps)
+    b = mean_p - a * mean_I
+    assert np.abs(np.asarray(ma) - np.asarray(_box_filter(a, r))).max() < 1e-3
+    assert np.abs(np.asarray(mb) - np.asarray(_box_filter(b, r))).max() < 1e-3
+
+
+def test_guided_upsample_pallas_close_to_xla():
+    from vidmat.ops.guided_filter import guided_upsample
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(4)
+    rgb = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    a_lr = jnp.asarray(rng.rand(1, 32, 48, 1).astype(np.float32))
+    f_lr = jnp.asarray(rng.rand(1, 32, 48, 3).astype(np.float32))
+    ax, fx = guided_upsample(rgb, a_lr, f_lr, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        ap, fp = guided_upsample(rgb, a_lr, f_lr, impl="pallas")
+    assert np.abs(np.asarray(ax) - np.asarray(ap)).max() < 1e-2
+    assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-2

@@ -1,0 +1,138 @@
+"""Command-line interface (SURVEY.md §1.2 L6: `infer.py`/`demo.py`-shaped
+entry points rebuilt as one typed CLI).
+
+Usage:
+  python -m vidmat.cli video  IN.mp4 --output-alpha a.mp4 \
+      --output-composition c.mp4 [--downsample-ratio 0.25] [--preset video_1080p]
+  python -m vidmat.cli image  IN.png --trimap T.png --output-alpha a.png
+  python -m vidmat.cli bench  [--quick]
+  python -m vidmat.cli train  --steps 200 --out ckpt/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_video(sub):
+    p = sub.add_parser("video", help="video in -> alpha/fgr/composite out")
+    p.add_argument("input")
+    p.add_argument("--output-alpha")
+    p.add_argument("--output-foreground")
+    p.add_argument("--output-composition")
+    p.add_argument("--bg-color", default="0,1,0",
+                   help="composite background R,G,B in [0,1]")
+    p.add_argument("--downsample-ratio", type=float, default=None)
+    p.add_argument("--preset", choices=["clip_480p", "video_1080p",
+                                        "video_4k"], default=None)
+    p.add_argument("--checkpoint", help="orbax checkpoint dir")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="trace N steady-state frames with jax.profiler")
+    p.add_argument("--progress", action="store_true")
+
+
+def _add_image(sub):
+    p = sub.add_parser("image", help="single-image matting (PR1)")
+    p.add_argument("input")
+    p.add_argument("--trimap")
+    p.add_argument("--output-alpha", required=True)
+    p.add_argument("--output-foreground")
+    p.add_argument("--checkpoint")
+
+
+def _add_bench(sub):
+    p = sub.add_parser("bench", help="run the throughput benchmark")
+    p.add_argument("--quick", action="store_true")
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train on synthetic clips (demo)")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--out", default="checkpoints/demo")
+    p.add_argument("--clip-len", type=int, default=4)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--size", type=int, default=64)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vidmat")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_video(sub)
+    _add_image(sub)
+    _add_bench(sub)
+    _add_train(sub)
+    args = parser.parse_args(argv)
+
+    if args.cmd == "video":
+        from vidmat.api import convert_video
+        from vidmat.config import PRESETS
+        from vidmat.models.weights import load_checkpoint
+        from vidmat.utils.profiling import maybe_profile
+
+        model_cfg = pipe_cfg = None
+        if args.preset:
+            model_cfg, pipe_cfg = PRESETS[args.preset]()
+        variables = (load_checkpoint(args.checkpoint)
+                     if args.checkpoint else None)
+        bg = tuple(float(x) for x in args.bg_color.split(","))
+        with maybe_profile(args.profile):
+            metrics = convert_video(
+                args.input, output_alpha=args.output_alpha,
+                output_foreground=args.output_foreground,
+                output_composition=args.output_composition,
+                bg_color=bg, downsample_ratio=args.downsample_ratio,
+                variables=variables, model_cfg=model_cfg,
+                pipe_cfg=pipe_cfg, progress=args.progress)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.cmd == "image":
+        import numpy as np
+
+        from vidmat.api import matte_image
+        from vidmat.io.reader import read_image
+        from vidmat.io.writer import write_image
+        from vidmat.models.weights import load_checkpoint
+
+        image = read_image(args.input)
+        trimap = read_image(args.trimap) if args.trimap else None
+        if trimap is not None and trimap.dtype == np.uint8:
+            trimap = trimap.astype(np.float32) / 255.0
+        variables = (load_checkpoint(args.checkpoint)
+                     if args.checkpoint else None)
+        alpha, fgr = matte_image(image, trimap, variables=variables)
+        write_image(args.output_alpha, alpha)
+        if args.output_foreground:
+            write_image(args.output_foreground, fgr)
+        return 0
+
+    if args.cmd == "bench":
+        import bench
+
+        sys.argv = ["bench.py"] + (["--quick"] if args.quick else [])
+        bench.main()
+        return 0
+
+    if args.cmd == "train":
+        from vidmat.config import ModelConfig
+        from vidmat.models.weights import save_checkpoint
+        from vidmat.train.data import synthetic_clip_batches
+        from vidmat.train.loop import train_on_clips
+
+        cfg = ModelConfig()
+        state = train_on_clips(
+            cfg, synthetic_clip_batches(t=args.clip_len, n=args.batch,
+                                        h=args.size, w=args.size),
+            num_steps=args.steps, lr=args.lr)
+        save_checkpoint(args.out, state.variables)
+        print(f"saved checkpoint to {args.out}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

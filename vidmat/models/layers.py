@@ -29,6 +29,7 @@ class ConvBNAct(nn.Module):
     use_bn: bool = True
     act: bool = True
     bn_eps: float = 1e-5
+    dtype: Optional[object] = None  # computation dtype (None = f32 promote)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -36,10 +37,10 @@ class ConvBNAct(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)), use_bias=not self.use_bn,
-                    name="conv")(x)
+                    dtype=self.dtype, name="conv")(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=True, epsilon=self.bn_eps,
-                             name="bn")(x)
+                             dtype=self.dtype, name="bn")(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -57,15 +58,18 @@ class ConvGRUCell(nn.Module):
     """
 
     features: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
+        h = h.astype(x.dtype)
         xh = jnp.concatenate([x, h], axis=-1)
         rz = nn.Conv(2 * self.features, (3, 3), padding=((1, 1), (1, 1)),
-                     name="gates")(xh)
+                     dtype=self.dtype, name="gates")(xh)
         r, z = jnp.split(jax.nn.sigmoid(rz), 2, axis=-1)
         c = jnp.tanh(nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                             name="cand")(jnp.concatenate([x, r * h], axis=-1)))
+                             dtype=self.dtype, name="cand"
+                             )(jnp.concatenate([x, r * h], axis=-1)))
         return (1.0 - z) * h + z * c
 
 
@@ -76,11 +80,12 @@ class BottleneckGate(nn.Module):
 
     features: int
     bn_eps: float = 1e-5
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         a = ConvBNAct(self.features, kernel=1, bn_eps=self.bn_eps,
-                      name="proj")(x)
+                      dtype=self.dtype, name="proj")(x)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = nn.Conv(self.features, (1, 1), name="gate")(g)
+        g = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="gate")(g)
         return a * jax.nn.sigmoid(g)

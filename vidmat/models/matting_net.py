@@ -61,18 +61,20 @@ def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
 
 class Encoder(nn.Module):
     cfg: ModelConfig
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array):
         c = self.cfg.enc_channels
         eps = self.cfg.bn_eps
-        f1 = ConvBNAct(c[0], stride=2, bn_eps=eps, name="stem")(x)
-        f2 = ConvBNAct(c[1], stride=2, bn_eps=eps, name="s2a")(f1)
-        f2 = ConvBNAct(c[1], stride=1, bn_eps=eps, name="s2b")(f2)
-        f3 = ConvBNAct(c[2], stride=2, bn_eps=eps, name="s3a")(f2)
-        f3 = ConvBNAct(c[2], stride=1, bn_eps=eps, name="s3b")(f3)
-        f4 = ConvBNAct(c[3], stride=2, bn_eps=eps, name="s4a")(f3)
-        f4 = ConvBNAct(c[3], stride=1, bn_eps=eps, name="s4b")(f4)
+        dt = self.dtype
+        f1 = ConvBNAct(c[0], stride=2, bn_eps=eps, dtype=dt, name="stem")(x)
+        f2 = ConvBNAct(c[1], stride=2, bn_eps=eps, dtype=dt, name="s2a")(f1)
+        f2 = ConvBNAct(c[1], stride=1, bn_eps=eps, dtype=dt, name="s2b")(f2)
+        f3 = ConvBNAct(c[2], stride=2, bn_eps=eps, dtype=dt, name="s3a")(f2)
+        f3 = ConvBNAct(c[2], stride=1, bn_eps=eps, dtype=dt, name="s3b")(f3)
+        f4 = ConvBNAct(c[3], stride=2, bn_eps=eps, dtype=dt, name="s4a")(f3)
+        f4 = ConvBNAct(c[3], stride=1, bn_eps=eps, dtype=dt, name="s4b")(f4)
         return f1, f2, f3, f4
 
 
@@ -87,19 +89,22 @@ class DecoderStage(nn.Module):
     features: int
     recurrent: bool
     bn_eps: float = 1e-5
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array,
                  h: Optional[jax.Array]):
         x = upsample2x(x)
         x = jnp.concatenate([x, skip], axis=-1)
-        x = ConvBNAct(self.features, bn_eps=self.bn_eps, name="conv")(x)
+        x = ConvBNAct(self.features, bn_eps=self.bn_eps, dtype=self.dtype,
+                      name="conv")(x)
         if not self.recurrent:
             return x, None
         a, b = jnp.split(x, 2, axis=-1)
         if h is None:
             h = jnp.zeros_like(b)
-        h_new = ConvGRUCell(self.features // 2, name="gru")(b, h)
+        h_new = ConvGRUCell(self.features // 2, dtype=self.dtype,
+                            name="gru")(b, h)
         return jnp.concatenate([a, h_new], axis=-1), h_new
 
 
@@ -115,6 +120,9 @@ class MattingNetwork(nn.Module):
     """
 
     cfg: ModelConfig = ModelConfig()
+    # Computation dtype: None = float32 (parity path); jnp.bfloat16 for the
+    # serving path (params stay float32; flax casts per-layer).
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, frame: jax.Array,
@@ -122,28 +130,34 @@ class MattingNetwork(nn.Module):
         cfg = self.cfg
         d = cfg.dec_channels
         eps = cfg.bn_eps
+        dt = self.dtype
         rec = cfg.recurrent
         rgb = frame[..., :3]
+        if dt is not None:
+            frame = frame.astype(dt)
 
-        f1, f2, f3, f4 = Encoder(cfg, name="encoder")(frame)
-        b4 = BottleneckGate(cfg.enc_channels[3], bn_eps=eps,
+        f1, f2, f3, f4 = Encoder(cfg, dtype=dt, name="encoder")(frame)
+        b4 = BottleneckGate(cfg.enc_channels[3], bn_eps=eps, dtype=dt,
                             name="bottleneck")(f4)
 
         h3 = h2 = h1 = None
         if state is not None:
             h3, h2, h1 = state.h3, state.h2, state.h1
 
-        x, n3 = DecoderStage(d[0], rec, eps, name="d3")(b4, f3, h3)
-        x, n2 = DecoderStage(d[1], rec, eps, name="d2")(x, f2, h2)
-        x, n1 = DecoderStage(d[2], rec, eps, name="d1")(x, f1, h1)
+        x, n3 = DecoderStage(d[0], rec, eps, dt, name="d3")(b4, f3, h3)
+        x, n2 = DecoderStage(d[1], rec, eps, dt, name="d2")(x, f2, h2)
+        x, n1 = DecoderStage(d[2], rec, eps, dt, name="d1")(x, f1, h1)
 
         # Full-res stage: upsample + condition on the raw frame (no GRU at
         # full res — state stays small).
         x = upsample2x(x)
-        x = jnp.concatenate([x, rgb], axis=-1)
-        x = ConvBNAct(d[3], bn_eps=eps, name="d0")(x)
+        x = jnp.concatenate([x, rgb.astype(x.dtype)], axis=-1)
+        x = ConvBNAct(d[3], bn_eps=eps, dtype=dt, name="d0")(x)
 
-        out = nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)), name="head")(x)
+        out = nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                      name="head")(x)
+        out = out.astype(jnp.float32)
+        rgb = rgb.astype(jnp.float32)
         alpha = jnp.clip(out[..., 0:1], 0.0, 1.0)
         fgr = jnp.clip(out[..., 1:4] + rgb, 0.0, 1.0)
 

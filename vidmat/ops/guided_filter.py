@@ -88,8 +88,8 @@ def gray_guide(rgb: jax.Array) -> jax.Array:
 
 
 def guided_upsample(rgb_full: jax.Array, alpha_lr: jax.Array,
-                    fgr_lr: jax.Array, radius: int = 4, eps: float = 1e-4
-                    ) -> tuple[jax.Array, jax.Array]:
+                    fgr_lr: jax.Array, radius: int = 4, eps: float = 1e-4,
+                    impl: str = "xla") -> tuple[jax.Array, jax.Array]:
     """Upsample coarse (alpha, fgr) to the full-res grid with a FAST guided
     filter (BASELINE.json:10 'downsample-ratio coarse pass + full-res
     refine').
@@ -113,16 +113,24 @@ def guided_upsample(rgb_full: jax.Array, alpha_lr: jax.Array,
     I = resize_bilinear(guide_full, hl, wl)
     p = jnp.concatenate([alpha_lr, fgr_lr], axis=-1).astype(f32)
 
-    mean_I = _box_filter(I, radius)
-    mean_p = _box_filter(p, radius)
-    corr_Ip = _box_filter(I * p, radius)
-    corr_II = _box_filter(I * I, radius)
-    var_I = corr_II - mean_I * mean_I
-    cov_Ip = corr_Ip - mean_I * mean_p
-    a = cov_Ip / (var_I + eps)
-    b = mean_p - a * mean_I
-    mean_a = resize_bilinear(_box_filter(a, radius), h, w)
-    mean_b = resize_bilinear(_box_filter(b, radius), h, w)
+    if impl == "pallas":
+        # Fused single-kernel statistics (vidmat.ops.pallas.gf_kernel).
+        from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
+
+        ma, mb = guided_filter_coeffs(I, p, radius=radius, eps=eps)
+        mean_a = resize_bilinear(ma, h, w)
+        mean_b = resize_bilinear(mb, h, w)
+    else:
+        mean_I = _box_filter(I, radius)
+        mean_p = _box_filter(p, radius)
+        corr_Ip = _box_filter(I * p, radius)
+        corr_II = _box_filter(I * I, radius)
+        var_I = corr_II - mean_I * mean_I
+        cov_Ip = corr_Ip - mean_I * mean_p
+        a = cov_Ip / (var_I + eps)
+        b = mean_p - a * mean_I
+        mean_a = resize_bilinear(_box_filter(a, radius), h, w)
+        mean_b = resize_bilinear(_box_filter(b, radius), h, w)
     out = mean_a * guide_full + mean_b
     alpha = jnp.clip(out[..., 0:1], 0.0, 1.0)
     fgr = jnp.clip(out[..., 1:4], 0.0, 1.0)
