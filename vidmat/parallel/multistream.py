@@ -170,9 +170,14 @@ class MultiStreamMatting:
                     last[i] = item
             if all(f is None for f in last):
                 break
-            batch = np.stack([f if f is not None else
-                              np.zeros((self.h, self.w, 3), np.uint8)
-                              for f in last])
+            # Native threaded pad+stack (C++ framestage) — the host-side
+            # batch-assembly hot path for S concurrent streams.
+            from vidmat.io.native import pad_stack
+
+            batch = pad_stack(
+                [f if f is not None else
+                 np.zeros((self.h, self.w, 3), np.uint8) for f in last],
+                self.h, self.w)
             t0 = time.perf_counter()
             alpha, out = self.step(batch, reset)
             metrics.record_frame(time.perf_counter() - t0)

@@ -165,9 +165,13 @@ class VideoPipeline:
                 self._pad = (ph - fh, pw - fw)
 
             if self._pad != (0, 0):
-                frame = np.pad(frame, ((0, self._pad[0]), (0, self._pad[1]),
-                                       (0, 0)), mode="edge")
-            dev_frame = jnp.asarray(frame)[None]
+                from vidmat.io.native import pad_stack
+
+                dev_frame = jnp.asarray(
+                    pad_stack([frame], frame.shape[0] + self._pad[0],
+                              frame.shape[1] + self._pad[1]))
+            else:
+                dev_frame = jnp.asarray(frame)[None]
             alpha_u8, fgr_u8, rgba, state = step(self.variables, dev_frame,
                                                  state)
             if pending is not None:
