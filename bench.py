@@ -23,7 +23,17 @@ import numpy as np
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    mode = "1080p"
+    for m in ("4k", "multistream", "480p"):
+        if f"--mode={m}" in sys.argv or (f"--mode" in sys.argv and m in sys.argv):
+            mode = m
+    if quick:
+        mode = "quick"
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      __file__.rsplit("/", 1)[0] + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from vidmat.config import ModelConfig, RefineConfig
@@ -33,9 +43,19 @@ def main() -> None:
     from vidmat.ops.guided_filter import guided_upsample
     from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
 
-    h, w = (288, 512) if quick else (1088, 1920)
-    ratio = 0.375 if quick else 0.25
-    frames_timed = 60 if quick else 240
+    # One rung per BASELINE.json:6-12 config (--mode=4k/multistream/480p).
+    batch = 1
+    if mode == "quick":
+        h, w, ratio, frames_timed = 288, 512, 0.5, 60
+    elif mode == "4k":
+        h, w, ratio, frames_timed = 2176, 3840, 0.125, 120
+    elif mode == "480p":
+        h, w, ratio, frames_timed = 480, 864, 1.0, 240
+    elif mode == "multistream":
+        h, w, ratio, frames_timed = 1088, 1920, 0.25, 120
+        batch = 8  # 8 concurrent 1080p streams batched on one chip
+    else:
+        h, w, ratio, frames_timed = 1088, 1920, 0.25, 240
 
     cfg = ModelConfig()
     net = MattingNetwork(cfg)
@@ -82,10 +102,10 @@ def main() -> None:
     # latency that no real deployment would see, so it is excluded from the
     # chip-throughput metric.
     rng = np.random.RandomState(0)
-    ring = [jax.device_put(rng.randint(0, 255, (1, h, w, 3), np.uint8))
+    ring = [jax.device_put(rng.randint(0, 255, (batch, h, w, 3), np.uint8))
             for _ in range(4)]
 
-    state0 = init_state(cfg, 1, net_h, net_w, cdtype)
+    state0 = init_state(cfg, batch, net_h, net_w, cdtype)
 
     def run_chain(n_frames: int) -> float:
         """Time n_frames chained steps; one D2H sync at the end (the output
@@ -109,19 +129,21 @@ def main() -> None:
         t_long = run_chain(n_long)
         per_frame.append((t_long - t_short) / (n_long - n_short))
     spf = float(np.median(per_frame))
-    fps = 1.0 / spf
+    fps = batch / spf
     p50_ms = spf * 1e3
     device = str(jax.devices()[0])
     target_fps = 200.0  # BASELINE.json:5 rebuild target; no published ref #s
+    label = {"quick": "480p-quick", "4k": "4K tiled-coarse",
+             "480p": "480p", "multistream": "8-stream 1080p",
+             "1080p": "1080p"}[mode]
     result = {
-        "metric": f"{'480p' if quick else '1080p'} recurrent matting "
-                  "throughput (frames/sec/chip)",
+        "metric": f"{label} recurrent matting throughput (frames/sec/chip)",
         "value": round(fps, 2),
         "unit": "fps/chip",
         "vs_baseline": round(fps / target_fps, 3),
         "p50_ms": round(p50_ms, 2),
         "device": device,
-        "resolution": f"{w}x{h}",
+        "resolution": f"{w}x{h}" + (f" x{batch} streams" if batch > 1 else ""),
         "downsample_ratio": ratio,
         "dtype": "bfloat16",
     }

@@ -1,0 +1,53 @@
+"""Quality gate: the shipped demo checkpoint must actually matte
+(trained end-to-end on synthetic clips by the framework's own training
+loop; SURVEY.md §4 integration tier with analytic ground truth)."""
+
+import os
+
+import numpy as np
+import pytest
+
+CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "checkpoints", "synthetic_demo")
+
+
+@pytest.fixture(scope="module")
+def demo_variables():
+    if not os.path.isdir(CKPT):
+        pytest.skip("demo checkpoint not present")
+    from vidmat.config import ModelConfig
+    from vidmat.models.weights import init_params, load_checkpoint
+
+    return load_checkpoint(CKPT, template=init_params(ModelConfig()))
+
+
+def test_demo_checkpoint_mattes_held_out_clip(demo_variables):
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.utils.metrics import mad
+
+    sess = MattingSession(96, 96, variables=demo_variables)
+    mads, ious = [], []
+    for frame, gt in synthetic_clip(96, 96, 12, seed=987654):  # held out
+        alpha, _ = sess.step(frame)
+        mads.append(mad(alpha, gt))
+        pred = alpha[..., 0] > 0.5
+        gtb = gt[..., 0] > 0.5
+        ious.append((pred & gtb).sum() / max((pred | gtb).sum(), 1))
+    assert np.mean(mads) < 0.01, np.mean(mads)
+    assert np.mean(ious) > 0.9, np.mean(ious)
+
+
+def test_demo_checkpoint_generalizes_resolution(demo_variables):
+    """The conv net is resolution-independent; a trained checkpoint must
+    matte at a resolution it never saw."""
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.utils.metrics import mad
+
+    sess = MattingSession(128, 160, variables=demo_variables)
+    mads = []
+    for frame, gt in synthetic_clip(128, 160, 8, seed=24680):
+        alpha, _ = sess.step(frame)
+        mads.append(mad(alpha, gt))
+    assert np.mean(mads) < 0.02, np.mean(mads)

@@ -181,7 +181,11 @@ def save_checkpoint(path: str, variables: Dict[str, Any]) -> None:
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, variables, force=True)
+    # Persist host numpy arrays: device-committed arrays embed their
+    # sharding (e.g. a TPU device) in the checkpoint metadata, which makes
+    # the checkpoint unrestorable on a host without that device.
+    host_vars = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
+    ckptr.save(path, host_vars, force=True)
 
 
 def load_checkpoint(path: str,
@@ -191,6 +195,18 @@ def load_checkpoint(path: str,
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    if template is not None:
-        return ckptr.restore(path, item=template)
-    return ckptr.restore(path)
+    try:
+        if template is not None:
+            return ckptr.restore(path, item=template)
+        return ckptr.restore(path)
+    except ValueError:
+        # Checkpoints written by older save paths embed device shardings
+        # (e.g. a TPU that isn't attached here); force single-host restore.
+        if template is None:
+            raise
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=sharding,
+                                           global_shape=x.shape,
+                                           dtype=x.dtype), template)
+        return ckptr.restore(path, item=template, restore_args=restore_args)
