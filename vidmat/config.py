@@ -66,6 +66,8 @@ class PipelineConfig:
     tile_overlap: int = 64
     # Background for compositing: None = export alpha+fgr only.
     composite_bg: Optional[Tuple[float, float, float]] = None
+    # Pallas serving kernels: None = auto (on for the TPU backend).
+    use_pallas: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,7 +67,8 @@ class VideoPipeline:
                 patch_size=self.pipe_cfg.refine.errormap_patch_size)
         self._compiled = {}
 
-    def _build_step(self, h: int, w: int, ratio: float):
+    def _build_step(self, h: int, w: int, ratio: float,
+                    need_fgr: bool = False):
         """One jitted device step for a (h, w) stream at a coarse ratio."""
         cfg = self.pipe_cfg
         cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -90,13 +91,31 @@ class VideoPipeline:
                     jnp.zeros((1, net_h, net_w, 1), jnp.float32))
             refiner = (self._refiner, self._refiner_vars)
 
+        # Pallas serving path (auto on TPU): fused area-pool ingest when the
+        # coarse ratio is an integer pool, fused GF stats, packed composite.
+        use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                      else jax.default_backend() == "tpu")
+        # The packed word holds composited RGB (premultiplied when bg is
+        # None) + alpha; a raw-foreground output needs the tuple path.
+        use_packed = use_pallas and not need_fgr
+        pool = (h // net_h if (not full and h % net_h == 0
+                               and w % net_w == 0
+                               and h // net_h == w // net_w) else 0)
+        gf_impl = "pallas" if use_pallas else "xla"
+
         @jax.jit
         def step(variables, frame_u8, state):
             # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
             frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
-            x = frame.astype(cdtype)
-            if not full:
-                x = resize_bilinear(x, net_h, net_w)
+            if use_pallas and pool:
+                from vidmat.ops.pallas import ingest_pool_normalize
+
+                x = ingest_pool_normalize(frame_u8, pool=pool,
+                                          out_dtype=cdtype)
+            else:
+                x = frame.astype(cdtype)
+                if not full:
+                    x = resize_bilinear(x, net_h, net_w)
             alpha, fgr, new_state = net.apply(variables, x, state)
             alpha = alpha.astype(jnp.float32)
             fgr = fgr.astype(jnp.float32)
@@ -104,7 +123,7 @@ class VideoPipeline:
                 if refine.mode == "guided":
                     alpha, fgr = guided_upsample(
                         frame, alpha, fgr, refine.guided_radius,
-                        refine.guided_eps)
+                        refine.guided_eps, impl=gf_impl)
                 elif refine.mode == "errormap" and refiner is not None:
                     x32 = x.astype(jnp.float32)
                     alpha, _err = refiner[0].apply(refiner[1], frame, x32,
@@ -113,10 +132,17 @@ class VideoPipeline:
                 else:
                     alpha = resize_bilinear(alpha, h, w)
                     fgr = resize_bilinear(fgr, h, w)
+            if use_packed:
+                from vidmat.ops.pallas import composite_rgba_packed
+
+                packed = composite_rgba_packed(fgr, alpha, bg)
+                # alpha rides the high byte of the packed words; fgr is the
+                # low 24 bits — writers unpack the one packed D2H transfer.
+                return packed, new_state
             rgba = composite_rgba(fgr, alpha, bg)
             alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
             fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
-            return alpha_u8, fgr_u8, rgba, new_state
+            return (alpha_u8, fgr_u8, rgba), new_state
 
         return step, (net_h, net_w)
 
@@ -133,13 +159,26 @@ class VideoPipeline:
         pending = None  # (device outputs of previous frame) — 1-frame pipeline
 
         def flush(outs):
-            alpha_u8, fgr_u8, rgba = outs
+            fh, fw = self._crop  # drop the bucket padding before encode
+            if isinstance(outs, tuple):
+                alpha_u8, fgr_u8, rgba = outs
+                if "alpha" in writers:
+                    writers["alpha"].write(np.asarray(alpha_u8)[0, :fh, :fw])
+                if "fgr" in writers:
+                    writers["fgr"].write(np.asarray(fgr_u8)[0, :fh, :fw])
+                if "comp" in writers:
+                    writers["comp"].write(np.asarray(rgba)[0, :fh, :fw])
+                return
+            # Pallas path: one packed-RGBA D2H, host-side zero-copy split.
+            from vidmat.ops.pallas.composite_kernel import unpack_rgba_host
+
+            rgba = unpack_rgba_host(np.asarray(outs))[0, :fh, :fw]
             if "alpha" in writers:
-                writers["alpha"].write(np.asarray(alpha_u8)[0])
+                writers["alpha"].write(rgba[..., 3])
             if "fgr" in writers:
-                writers["fgr"].write(np.asarray(fgr_u8)[0])
+                writers["fgr"].write(rgba[..., :3])
             if "comp" in writers:
-                writers["comp"].write(np.asarray(rgba)[0])
+                writers["comp"].write(rgba)
 
         n = 0
         t_prev = time.perf_counter()
@@ -149,7 +188,8 @@ class VideoPipeline:
                 ratio = (self.downsample_ratio if self.downsample_ratio
                          is not None else auto_downsample_ratio(fh, fw))
                 ph, pw = fh + ((-fh) % 16), fw + ((-fw) % 16)
-                step, (net_h, net_w) = self._build_step(ph, pw, ratio)
+                step, (net_h, net_w) = self._build_step(
+                    ph, pw, ratio, need_fgr=bool(output_foreground))
                 cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
                           else jnp.float32)
                 state = (init_state(self.model_cfg, 1, net_h, net_w, cdtype)
@@ -172,12 +212,11 @@ class VideoPipeline:
                               frame.shape[1] + self._pad[1]))
             else:
                 dev_frame = jnp.asarray(frame)[None]
-            alpha_u8, fgr_u8, rgba, state = step(self.variables, dev_frame,
-                                                 state)
+            outs, state = step(self.variables, dev_frame, state)
             if pending is not None:
                 flush(pending)  # overlap: host writes frame t-1 while device
                 # computes frame t
-            pending = (alpha_u8, fgr_u8, rgba)
+            pending = outs
             n += 1
             t_now = time.perf_counter()
             metrics.record_frame(t_now - t_prev)
