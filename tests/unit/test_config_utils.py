@@ -1,0 +1,52 @@
+"""Config presets, resize shape snapping, debug guards, profiling utils."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vidmat.config import PRESETS
+from vidmat.ops.resize import downsample_ratio_shape
+from vidmat.pipeline.video import auto_downsample_ratio
+from vidmat.utils.debug import check_finite
+from vidmat.utils.profiling import FrameTimer
+
+
+def test_presets_exist_for_every_ladder_rung():
+    # BASELINE.json:6-12 — five configs
+    assert set(PRESETS) == {"pr1_image", "clip_480p", "video_1080p",
+                            "video_4k", "multistream"}
+    for name, f in PRESETS.items():
+        out = f()
+        assert len(out) in (2, 3)
+
+
+def test_downsample_shape_snaps_to_16():
+    for h, w, r in [(1088, 1920, 0.25), (2176, 3840, 0.125),
+                    (480, 864, 0.5), (99, 131, 0.3)]:
+        nh, nw = downsample_ratio_shape(h, w, r)
+        assert nh % 16 == 0 and nw % 16 == 0
+        assert nh >= 16 and nw >= 16
+
+
+def test_auto_ratio():
+    assert auto_downsample_ratio(480, 640) == 1.0
+    assert 0.2 < auto_downsample_ratio(1080, 1920) < 0.5
+    assert auto_downsample_ratio(2160, 3840) >= 0.125
+
+
+def test_check_finite():
+    check_finite({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        check_finite({"a": jnp.array([1.0, np.nan])}, "x")
+
+
+def test_frame_timer_percentiles():
+    t = FrameTimer(capacity=8)
+    import time
+
+    for _ in range(5):
+        t.tick()
+        time.sleep(0.001)
+    p = t.percentiles()
+    assert p["p50_ms"] > 0
