@@ -92,3 +92,12 @@ class MattingSession:
     def reset(self) -> None:
         """Reset temporal state (scene cut / new stream)."""
         self._stepper.reset()
+
+    def save_state(self, path: str, frame_index: int = 0) -> None:
+        """Checkpoint the temporal carry for mid-video resume
+        (SURVEY.md §5)."""
+        self._stepper.save_state(path, frame_index)
+
+    def load_state(self, path: str) -> int:
+        """Restore a checkpointed carry; returns the saved frame index."""
+        return self._stepper.load_state(path)

@@ -39,15 +39,32 @@ def write_image(path: str, image: np.ndarray) -> None:
 
 
 class VideoWriter:
-    """Threaded video writer; frames are (H, W, C) uint8 RGB/gray."""
+    """Threaded frame-stream writer; frames are (H, W, C) uint8 RGB/gray.
+
+    Output target by path shape:
+      *.mp4 / *.avi ...   — video container via cv2
+      a directory, or a pattern containing '%' (e.g. out/alpha_%05d.png)
+      — numbered image sequence (the research-repo-style export [DOMAIN])
+    """
 
     _END = object()
 
     def __init__(self, path: str, fps: float = 30.0, queue_size: int = 16):
-        if not _HAS_CV2:
-            raise RuntimeError("cv2 unavailable for video encode")
         self.path = path
         self.fps = fps
+        self._seq_pattern: Optional[str] = None
+        if "%" in path:
+            self._seq_pattern = path
+        elif os.path.splitext(path)[1].lower() in ("", ".d") or \
+                os.path.isdir(path):
+            self._seq_pattern = os.path.join(path, "%05d.png")
+        elif os.path.splitext(path)[1].lower() in (".png", ".jpg", ".jpeg",
+                                                   ".webp"):
+            base, ext = os.path.splitext(path)
+            self._seq_pattern = f"{base}_%05d{ext}"
+        if self._seq_pattern is None and not _HAS_CV2:
+            raise RuntimeError("cv2 unavailable for video encode")
+        self._n = 0
         self._writer: Optional["cv2.VideoWriter"] = None
         self.q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._thread = threading.Thread(target=self._consume, daemon=True)
@@ -65,6 +82,13 @@ class VideoWriter:
                 frame = self.q.get()
                 if frame is VideoWriter._END:
                     break
+                if self._seq_pattern is not None:
+                    p = self._seq_pattern % self._n
+                    os.makedirs(os.path.dirname(os.path.abspath(p)),
+                                exist_ok=True)
+                    write_image(p, frame)  # PNG keeps the alpha channel
+                    self._n += 1
+                    continue
                 if frame.ndim == 2:
                     frame = np.repeat(frame[..., None], 3, axis=-1)
                 if frame.shape[-1] == 4:

@@ -138,3 +138,30 @@ class VideoStepper:
         host round-trips): frame (1,H,W,3) float32 -> (alpha, fgr) device."""
         alpha, fgr, self.state = self._step(self.variables, frame, self.state)
         return alpha, fgr
+
+    # -- mid-video resume (SURVEY.md §5 checkpoint/resume: the pipeline
+    # carry is itself a checkpointable pytree) --
+
+    def save_state(self, path: str, frame_index: int = 0) -> None:
+        """Persist the temporal carry + position for mid-video resume."""
+        from vidmat.models.weights import save_checkpoint
+
+        carry = {"frame_index": jnp.asarray(frame_index),
+                 "state": (self.state._asdict() if self.state is not None
+                           else {})}
+        save_checkpoint(path, carry)
+
+    def load_state(self, path: str) -> int:
+        """Restore a saved carry; returns the saved frame index."""
+        from vidmat.models.matting_net import RecurrentState
+        from vidmat.models.weights import load_checkpoint
+
+        template = {"frame_index": jnp.asarray(0),
+                    "state": (self.state._asdict() if self.state is not None
+                              else {})}
+        carry = load_checkpoint(path, template=template)
+        if carry["state"]:
+            self.state = RecurrentState(
+                **{k: jnp.asarray(v, self.dtype)
+                   for k, v in carry["state"].items()})
+        return int(carry["frame_index"])
