@@ -51,3 +51,24 @@ def test_demo_checkpoint_generalizes_resolution(demo_variables):
         alpha, _ = sess.step(frame)
         mads.append(mad(alpha, gt))
     assert np.mean(mads) < 0.02, np.mean(mads)
+
+
+def test_trimap_checkpoint_quality():
+    """The trimap-conditioned variant (PR1 trimap rung) trained by the
+    framework must matte held-out images."""
+    ckpt = os.path.join(os.path.dirname(CKPT), "trimap_demo")
+    if not os.path.isdir(ckpt):
+        pytest.skip("trimap checkpoint not present")
+    from vidmat.api import matte_image
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.train.data import alpha_to_trimap
+    from vidmat.utils.metrics import mad
+
+    cfg = ModelConfig(use_trimap=True, recurrent=False)
+    v = load_checkpoint(ckpt, template=init_params(cfg))
+    frame, gt = synthetic_frame(64, 64, 0.37, seed=111)
+    alpha, _ = matte_image(frame, trimap=alpha_to_trimap(gt)[..., 0],
+                           variables=v, cfg=cfg)
+    assert mad(alpha, gt) < 0.01

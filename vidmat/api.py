@@ -7,11 +7,11 @@ RVM-lineage ``convert_video`` contract the driver ladder implies.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional, Tuple, Union
+from typing import Iterable, Optional, Tuple, Union
 
 import numpy as np
 
-from vidmat.config import ModelConfig, PipelineConfig, RefineConfig
+from vidmat.config import ModelConfig, PipelineConfig
 
 
 def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,

@@ -11,7 +11,7 @@ import os
 import subprocess
 import sys
 import sysconfig
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, Optional, Tuple, Union
+from typing import Iterable, Iterator, Union
 
 import numpy as np
 

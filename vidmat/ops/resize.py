@@ -18,7 +18,6 @@ All functions take NHWC float arrays.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def downsample_ratio_shape(h: int, w: int, ratio: float) -> tuple[int, int]:

@@ -13,14 +13,10 @@ frame t within the scan body schedule.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
-from vidmat.config import ModelConfig
-from vidmat.models.matting_net import MattingNetwork, RecurrentState
+from vidmat.models.matting_net import MattingNetwork
 
 
 def make_chunk_step(net: MattingNetwork, cdtype=jnp.float32):

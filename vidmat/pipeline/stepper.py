@@ -9,7 +9,6 @@ decoded RGB in and the matte/fgr out.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -17,9 +17,7 @@ jax.checkpoint on the per-frame step trades FLOPs for memory in BPTT
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

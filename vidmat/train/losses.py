@@ -35,7 +35,7 @@ def matting_loss(pred_alpha: jax.Array, pred_fgr: jax.Array,
     t, n, h, w, _ = pred_alpha.shape
     flat = lambda x: x.reshape((t * n,) + x.shape[2:])
     pa, ga = flat(pred_alpha), flat(gt_alpha)
-    pf, fr = flat(pred_fgr), flat(frames)
+    pf, fr = flat(pred_fgr), flat(frames[..., :3])  # drop trimap channel
 
     # alpha L1 + Laplacian-free gradient term
     l_alpha = jnp.mean(jnp.abs(pa - ga))
