@@ -19,4 +19,23 @@ behavior is built to the driver-pinned workload ladder in BASELINE.json:6-12.
 __version__ = "0.1.0"
 
 from vidmat.api import convert_video, matte_image, MattingSession  # noqa: F401
-from vidmat.config import ModelConfig, PipelineConfig, StreamConfig  # noqa: F401
+from vidmat.config import (ModelConfig, PipelineConfig, RefineConfig,  # noqa: F401
+                           StreamConfig, PRESETS)
+
+
+def __getattr__(name):
+    # Lazy heavyweight exports (avoid importing jax mesh/toolchains at
+    # package import).
+    if name == "MultiStreamMatting":
+        from vidmat.parallel.multistream import MultiStreamMatting
+
+        return MultiStreamMatting
+    if name == "make_mesh":
+        from vidmat.parallel.mesh import make_mesh
+
+        return make_mesh
+    if name == "MattingNetwork":
+        from vidmat.models.matting_net import MattingNetwork
+
+        return MattingNetwork
+    raise AttributeError(name)

@@ -47,6 +47,17 @@ def _add_bench(sub):
     p.add_argument("--quick", action="store_true")
 
 
+def _add_multistream(sub):
+    p = sub.add_parser("multistream",
+                       help="matte N videos concurrently (BASELINE.json:11)")
+    p.add_argument("inputs", nargs="+", help="video files (one per stream)")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--downsample-ratio", type=float, default=0.25)
+    p.add_argument("--checkpoint")
+    p.add_argument("--height", type=int, default=1088)
+    p.add_argument("--width", type=int, default=1920)
+
+
 def _add_train(sub):
     p = sub.add_parser("train", help="train on synthetic clips (demo)")
     p.add_argument("--steps", type=int, default=100)
@@ -63,6 +74,7 @@ def main(argv=None) -> int:
     _add_video(sub)
     _add_image(sub)
     _add_bench(sub)
+    _add_multistream(sub)
     _add_train(sub)
     args = parser.parse_args(argv)
 
@@ -114,6 +126,46 @@ def main(argv=None) -> int:
 
         sys.argv = ["bench.py"] + (["--quick"] if args.quick else [])
         bench.main()
+        return 0
+
+    if args.cmd == "multistream":
+        import os
+
+        import numpy as np
+
+        from vidmat.io.reader import VideoReader
+        from vidmat.io.writer import VideoWriter
+        from vidmat.models.weights import load_checkpoint
+        from vidmat.parallel.multistream import MultiStreamMatting
+        from vidmat.pipeline.stepper import pad_to_multiple
+
+        variables = (load_checkpoint(args.checkpoint)
+                     if args.checkpoint else None)
+        readers = [VideoReader(p) for p in args.inputs]
+        h = args.height + ((-args.height) % 16)
+        w = args.width + ((-args.width) % 16)
+
+        def padded(reader):
+            for f in reader:
+                yield pad_to_multiple(
+                    f[:args.height, :args.width], 16)[0]
+
+        ms = MultiStreamMatting(len(readers), h, w, variables=variables,
+                                downsample_ratio=args.downsample_ratio)
+        os.makedirs(args.output_dir, exist_ok=True)
+        writers = [VideoWriter(os.path.join(args.output_dir,
+                                            f"alpha_{i:02d}.mp4"),
+                               readers[i].fps)
+                   for i in range(len(readers))]
+
+        def on_output(i, n, alpha, out):
+            writers[i].write(alpha[:args.height, :args.width])
+
+        summary = ms.serve([padded(r) for r in readers],
+                           on_output=on_output)
+        for wr in writers:
+            wr.close()
+        print(json.dumps(summary))
         return 0
 
     if args.cmd == "train":
