@@ -21,7 +21,28 @@ import time
 import numpy as np
 
 
+def _watchdog(seconds: float = 900.0) -> None:
+    """Fail loudly if the TPU tunnel wedges (observed mid-round: the pool
+    claim can hang indefinitely); prints an explicit error JSON instead of
+    hanging the driver."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "1080p recurrent matting throughput (frames/sec/chip)",
+            "value": 0, "unit": "fps/chip", "vs_baseline": 0,
+            "error": f"TPU unreachable: bench exceeded {seconds:.0f}s "
+                     "(tunnel watchdog)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _watchdog()
     quick = "--quick" in sys.argv
     mode = "1080p"
     for m in ("4k", "multistream", "480p"):

@@ -46,10 +46,16 @@ def _composite_kernel(fgr_ref, alpha_ref, bg_ref, out_ref):
 def _composite_call(fgr_chw: jax.Array, alpha_hw: jax.Array,
                     bg4: jax.Array, interpret: bool = False) -> jax.Array:
     c, h, w = fgr_chw.shape
-    tile_h = 256 if h % 256 == 0 else (128 if h % 128 == 0 else 8)
-    while h % tile_h:
-        tile_h //= 2
-    tile_h = max(tile_h, 1)
+    # Pick the largest tile height that divides h AND keeps the working set
+    # (fgr 3ch f32 + alpha f32 + u32 out, double-buffered) under the 16MB
+    # scoped-VMEM budget — 4K-wide frames overflowed with fixed 128-row
+    # tiles.
+    budget_rows = max(8, (6 * 1024 * 1024) // (w * 4 * 5))
+    tile_h = 8
+    for cand in (256, 128, 64, 32, 16, 8):
+        if h % cand == 0 and cand <= budget_rows:
+            tile_h = cand
+            break
     grid = (h // tile_h,)
     return pl.pallas_call(
         _composite_kernel,
