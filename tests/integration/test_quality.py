@@ -72,3 +72,41 @@ def test_trimap_checkpoint_quality():
     alpha, _ = matte_image(frame, trimap=alpha_to_trimap(gt)[..., 0],
                            variables=v, cfg=cfg)
     assert mad(alpha, gt) < 0.01
+
+
+def test_errormap_refiner_checkpoint_improves_upsample():
+    """Trained error-map refiner must beat plain bilinear upsample on a
+    held-out frame (BASELINE.json:5 error-map path, end-to-end)."""
+    ckpt = os.path.join(os.path.dirname(CKPT), "errormap_demo")
+    base_ckpt = CKPT
+    if not (os.path.isdir(ckpt) and os.path.isdir(base_ckpt)):
+        pytest.skip("refiner/base checkpoints not present")
+    import jax.numpy as jnp
+
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.models.matting_net import MattingNetwork
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.ops.resize import resize_bilinear
+    from vidmat.refine.errormap import ErrorMapRefiner
+    from vidmat.utils.metrics import mad
+
+    cfg = ModelConfig()
+    base = load_checkpoint(base_ckpt, template=init_params(cfg))
+    refiner = ErrorMapRefiner(num_patches=16, patch_size=16)
+    import jax.random as jrandom
+
+    template = refiner.init(jrandom.PRNGKey(0),
+                            jnp.zeros((1, 128, 128, 3)),
+                            jnp.zeros((1, 64, 64, 3)),
+                            jnp.zeros((1, 64, 64, 1)))
+    params = load_checkpoint(ckpt, template=template)
+
+    net = MattingNetwork(cfg)
+    frame, gt = synthetic_frame(128, 128, 0.41, seed=991)
+    rgb = jnp.asarray(frame.astype(np.float32) / 255.0)[None]
+    rgb_lr = resize_bilinear(rgb, 64, 64)
+    alpha_lr, _, _ = net.apply(base, rgb_lr, None)
+    plain = np.asarray(resize_bilinear(alpha_lr, 128, 128))
+    refined, _ = refiner.apply(params, rgb, rgb_lr, alpha_lr)
+    assert mad(np.asarray(refined), gt[None]) < mad(plain, gt[None])

@@ -41,6 +41,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   variables=None,
                   model_cfg: Optional[ModelConfig] = None,
                   pipe_cfg: Optional[PipelineConfig] = None,
+                  refiner_variables=None,
                   progress: bool = False) -> dict:
     """Convert a video to alpha / foreground / composited streams.
 
@@ -60,6 +61,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         variables=variables,
         downsample_ratio=downsample_ratio,
         bg_color=bg_color if output_composition else None,
+        refiner_variables=refiner_variables,
     )
     return pipeline.run(input_source, output_alpha=output_alpha,
                         output_foreground=output_foreground,

@@ -49,7 +49,8 @@ class VideoPipeline:
     def __init__(self, model_cfg: ModelConfig = ModelConfig(),
                  pipe_cfg: Optional[PipelineConfig] = None,
                  variables=None, downsample_ratio: Optional[float] = None,
-                 bg_color: Optional[Tuple[float, float, float]] = None):
+                 bg_color: Optional[Tuple[float, float, float]] = None,
+                 refiner_variables=None):
         self.model_cfg = model_cfg
         self.pipe_cfg = pipe_cfg or PipelineConfig()
         self.variables = (variables if variables is not None
@@ -58,7 +59,7 @@ class VideoPipeline:
         self.bg_color = bg_color
         self.net = MattingNetwork(model_cfg)
         self._refiner = None
-        self._refiner_vars = None
+        self._refiner_vars = refiner_variables
         if self.pipe_cfg.refine.mode == "errormap":
             from vidmat.refine.errormap import ErrorMapRefiner
 
