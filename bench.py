@@ -79,11 +79,11 @@ def main() -> None:
         h, w, ratio, frames_timed = 1088, 1920, 0.25, 240
 
     cfg = ModelConfig()
-    net = MattingNetwork(cfg)
+    cdtype = jnp.bfloat16
+    net = MattingNetwork(cfg, dtype=cdtype)  # true bf16 conv path
     variables = init_params(cfg)
     net_h, net_w = downsample_ratio_shape(h, w, ratio)
     refine = RefineConfig()
-    cdtype = jnp.bfloat16
 
     # Integer pool factor => the fused Pallas ingest kernel (area
     # downsample) applies; otherwise fall back to bilinear resize.

@@ -62,7 +62,8 @@ class MultiStreamMatting:
             net_h, net_w = height, width
         self.net_h, self.net_w = net_h, net_w
         full = (net_h, net_w) == (height, width)
-        net = MattingNetwork(cfg)
+        net = MattingNetwork(cfg, dtype=cdtype if dtype == "bfloat16"
+                             else None)
         bg = jnp.asarray(bg_color, jnp.float32) if bg_color is not None else None
 
         def step(variables, frames_u8, state, reset_mask):

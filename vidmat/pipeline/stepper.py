@@ -91,7 +91,8 @@ class VideoStepper:
         self.cfg = cfg
         self.h, self.w = height, width
         self.ratio = downsample_ratio
-        self.net = MattingNetwork(cfg)
+        self.net = MattingNetwork(
+            cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
         self.variables = variables if variables is not None else init_params(cfg)
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 

@@ -57,7 +57,9 @@ class VideoPipeline:
                           else init_params(model_cfg))
         self.downsample_ratio = downsample_ratio
         self.bg_color = bg_color
-        self.net = MattingNetwork(model_cfg)
+        cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
+                  else None)
+        self.net = MattingNetwork(model_cfg, dtype=cdtype)
         self._refiner = None
         self._refiner_vars = refiner_variables
         if self.pipe_cfg.refine.mode == "errormap":
