@@ -74,3 +74,12 @@ def test_matting_session_streaming():
     a2 = [sess.step(f)[0] for f in frames]
     np.testing.assert_array_equal(a1[0], a2[0])  # reset => cold-start repro
     assert a1[0].shape == (96, 128, 1)
+
+
+def test_convert_video_tiled_refine():
+    """Tiled full-res refinement path (BASELINE.json:10 '4K' rung at test
+    scale: coarse pool + tiled guided refine + overlap blend)."""
+    frames = list(synthetic_frames_only(256, 384, 3))
+    pipe = PipelineConfig(tile_size=64, tile_overlap=16)
+    m = vidmat.convert_video(frames, downsample_ratio=0.25, pipe_cfg=pipe)
+    assert m["frames"] == 3

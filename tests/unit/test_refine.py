@@ -61,3 +61,34 @@ def test_errormap_refiner_shapes_and_targeting():
     diff = (np.abs(np.asarray(alpha) - np.clip(base, 0, 1)) > 1e-7)
     changed_px = diff.sum()
     assert changed_px <= 8 * 16 * 16, changed_px
+
+
+def test_tiled_guided_upsample_matches_whole_frame():
+    """Per-tile guided refinement with overlap >= 2*radius*pool must match
+    the whole-frame filter (seam-free 4K path, BASELINE.json:10)."""
+    from vidmat.ops.guided_filter import guided_upsample
+    from vidmat.refine.tiling import tiled_guided_upsample
+
+    # realistic content (the GF approximation is exact on locally-smooth
+    # signals; white noise over-states the tile-edge truncation residual)
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.ops.resize import resize_bilinear
+
+    h, w, pool = 128, 192, 2
+    img, gt = synthetic_frame(h, w, 0.3, seed=5)
+    frame = jnp.asarray(img.astype(np.float32) / 255.0)[None]
+    a_lr = resize_bilinear(jnp.asarray(gt)[None], h // pool, w // pool)
+    f_lr = resize_bilinear(frame, h // pool, w // pool)
+
+    whole_a, whole_f = guided_upsample(frame, a_lr, f_lr, radius=4)
+    tile_a, tile_f = tiled_guided_upsample(frame, a_lr, f_lr,
+                                           tile=64, overlap=32, radius=4)
+    # interiors match; the tiny residual is the per-tile edge-truncation
+    # band of the box filter
+    assert np.abs(np.asarray(whole_a) - np.asarray(tile_a)).mean() < 5e-3
+    # seams: no discontinuity at tile boundaries
+    ta = np.asarray(tile_a)[0, :, :, 0]
+    seam_jump = np.abs(np.diff(ta, axis=1)).max()
+    smooth_jump = np.abs(np.diff(np.asarray(whole_a)[0, :, :, 0],
+                                 axis=1)).max()
+    assert seam_jump < smooth_jump * 1.5 + 0.05

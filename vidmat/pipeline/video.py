@@ -123,7 +123,17 @@ class VideoPipeline:
             alpha = alpha.astype(jnp.float32)
             fgr = fgr.astype(jnp.float32)
             if not full:
-                if refine.mode == "guided":
+                if refine.mode == "guided" and cfg.tile_size and pool:
+                    # Tiled/patch full-res refine with overlap blending
+                    # (BASELINE.json:10) — bounds full-res intermediates at
+                    # very large resolutions.
+                    from vidmat.refine.tiling import tiled_guided_upsample
+
+                    alpha, fgr = tiled_guided_upsample(
+                        frame, alpha, fgr, cfg.tile_size, cfg.tile_overlap,
+                        refine.guided_radius, refine.guided_eps,
+                        impl=gf_impl)
+                elif refine.mode == "guided":
                     alpha, fgr = guided_upsample(
                         frame, alpha, fgr, refine.guided_radius,
                         refine.guided_eps, impl=gf_impl)

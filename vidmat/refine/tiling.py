@@ -132,3 +132,45 @@ def tiled_apply(fn, frame: jax.Array, tile: int, overlap: int) -> jax.Array:
     tiles = tile_frame(frame, layout)
     out_tiles = fn(tiles)
     return untile_frame(out_tiles, layout, n)
+
+
+def tiled_guided_upsample(frame: jax.Array, alpha_lr: jax.Array,
+                          fgr_lr: jax.Array, tile: int, overlap: int,
+                          radius: int = 4, eps: float = 1e-4,
+                          impl: str = "xla"):
+    """Tiled/patch full-res guided refinement with overlap blending
+    (BASELINE.json:10): each full-res tile is refined against its own
+    coarse crop, all tiles as ONE batch, then feather-blended.
+
+    The guided filter is a local operator (window 2r+1), so per-tile
+    statistics with overlap >= 2 * radius * pool match the whole-frame
+    filter away from numerical noise — this path exists to bound memory at
+    very large resolutions (6K/8K) where whole-frame full-res intermediates
+    would pressure HBM.
+
+    frame: (N, H, W, 3) float32; alpha_lr/fgr_lr at H/pool x W/pool with an
+    integer pool; tile and overlap must be divisible by pool.
+    """
+    from vidmat.ops.guided_filter import guided_upsample
+
+    n, h, w, _ = frame.shape
+    nl, hl, wl, _ = alpha_lr.shape
+    pool = h // hl
+    if h % hl or w % wl or tile % pool or overlap % pool:
+        raise ValueError("tile/overlap must align with the coarse pool")
+
+    layout = TileLayout(h, w, tile, overlap)
+    lr_layout = TileLayout(hl, wl, tile // pool, overlap // pool)
+    if (len(layout.ys) != len(lr_layout.ys)
+            or len(layout.xs) != len(lr_layout.xs)):
+        raise ValueError("tile grid mismatch between full and coarse res; "
+                         "choose tile/overlap so both grids align")
+
+    tiles = tile_frame(frame, layout)
+    a_tiles = tile_frame(alpha_lr, lr_layout)
+    f_tiles = tile_frame(fgr_lr, lr_layout)
+    a_ref, f_ref = guided_upsample(tiles, a_tiles, f_tiles, radius, eps,
+                                   impl=impl)
+    alpha = untile_frame(a_ref, layout, n)
+    fgr = untile_frame(f_ref, layout, n)
+    return alpha, fgr
