@@ -74,3 +74,43 @@ def test_nonsquare_parity():
     ja, jf, _, ta, tf, _ = _run_pair(ModelConfig(recurrent=False),
                                      h=192, w=320, seed=11)
     assert mad(ja, ta) <= TOL
+
+
+def test_errormap_refiner_parity():
+    """Error-map refiner parity vs torch oracle (selection, gather, refine,
+    feathered scatter) to <=1e-3 MAD."""
+    import jax.random as jrandom
+
+    from vidmat.models.torch_oracle import TErrorMapRefiner
+    from vidmat.models.weights import flax_to_torch_state
+    from vidmat.refine.errormap import ErrorMapRefiner
+
+    # k = all grid cells: selection covers every patch, so jax/torch top-k
+    # tie-break order (ReLU'd error maps tie at exactly 0) cannot affect
+    # the output; gather/refine/scatter math is what's under test.
+    hf, wf, hl, wl, p = 128, 192, 64, 96, 16
+    k = (hf // p) * (wf // p)
+    refiner = ErrorMapRefiner(num_patches=k, patch_size=p)
+    rng = np.random.RandomState(21)
+    rgb_full = jnp.asarray(rng.rand(1, hf, wf, 3).astype(np.float32))
+    rgb_lr = jnp.asarray(rng.rand(1, hl, wl, 3).astype(np.float32))
+    alpha_lr = jnp.asarray(rng.rand(1, hl, wl, 1).astype(np.float32))
+    params = refiner.init(jrandom.PRNGKey(2), rgb_full, rgb_lr, alpha_lr)
+
+    oracle = TErrorMapRefiner(num_patches=k, patch_size=p)
+    sd = {kk: torch.from_numpy(np.ascontiguousarray(v))
+          for kk, v in flax_to_torch_state(params).items()}
+    cur = oracle.state_dict()
+    for kk in cur:
+        if kk.endswith("num_batches_tracked"):
+            sd[kk] = cur[kk]
+    oracle.load_state_dict(sd)
+    oracle.eval()
+
+    with jax.default_matmul_precision("float32"):
+        ja, je = refiner.apply(params, rgb_full, rgb_lr, alpha_lr)
+    ta, te = oracle(torch.from_numpy(np.asarray(rgb_full)).permute(0, 3, 1, 2),
+                    torch.from_numpy(np.asarray(rgb_lr)).permute(0, 3, 1, 2),
+                    torch.from_numpy(np.asarray(alpha_lr)).permute(0, 3, 1, 2))
+    assert mad(np.asarray(ja), ta.permute(0, 2, 3, 1).numpy()) <= TOL
+    assert mad(np.asarray(je), te.permute(0, 2, 3, 1).numpy()) <= TOL

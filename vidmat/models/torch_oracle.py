@@ -144,3 +144,67 @@ class TorchMattingNetwork(nn.Module):
                                 torch.where(tri <= 0.25,
                                             torch.zeros_like(alpha), alpha))
         return alpha, fgr, (n3, n2, n1)
+
+
+class TErrorMapRefiner(nn.Module):
+    """NCHW mirror of vidmat.refine.errormap.ErrorMapRefiner (module names
+    match for the mechanical weight bridge)."""
+
+    def __init__(self, num_patches=64, patch_size=16, features=24,
+                 bn_eps=1e-5):
+        super().__init__()
+        self.k = num_patches
+        self.p = patch_size
+        # error_head: c1 (ConvBNAct 4->16) + c2 (conv 16->1)
+        self.error_head = nn.Module()
+        self.error_head.c1 = TConvBNAct(4, 16, bn_eps=bn_eps)
+        self.error_head.c2 = nn.Conv2d(16, 1, 3, padding=1)
+        # refine_net: c1..c3 ConvBNAct + head conv
+        self.refine_net = nn.Module()
+        self.refine_net.c1 = TConvBNAct(4, features, bn_eps=bn_eps)
+        self.refine_net.c2 = TConvBNAct(features, features, bn_eps=bn_eps)
+        self.refine_net.c3 = TConvBNAct(features, features, bn_eps=bn_eps)
+        self.refine_net.head = nn.Conv2d(features, 1, 3, padding=1)
+
+    @torch.no_grad()
+    def forward(self, rgb_full, rgb_lr, alpha_lr):
+        import numpy as np
+
+        n, _, hf, wf = rgb_full.shape
+        p, k = self.p, self.k
+        x = torch.cat([rgb_lr, alpha_lr], dim=1)
+        err = F.relu(self.error_head.c2(self.error_head.c1(x)))
+        alpha_up = F.interpolate(alpha_lr, size=(hf, wf), mode="bilinear",
+                                 align_corners=False)
+        gh, gw = hf // p, wf // p
+        err_grid = F.interpolate(err, size=(gh, gw), mode="bilinear",
+                                 align_corners=False)
+        flat = err_grid.reshape(n, gh * gw)
+        _, idx = torch.topk(flat, k, dim=1)
+        py = (idx // gw) * p
+        px = (idx % gw) * p
+
+        src = torch.cat([rgb_full, alpha_up], dim=1)
+        patches = []
+        for b in range(n):
+            for i in range(k):
+                y, xx = int(py[b, i]), int(px[b, i])
+                patches.append(src[b:b + 1, :, y:y + p, xx:xx + p])
+        patches = torch.cat(patches, dim=0)
+        r = self.refine_net
+        res = r.head(r.c3(r.c2(r.c1(patches)))).reshape(n, k, 1, p, p)
+
+        band = max(2, p // 8)
+        ramp = np.ones(p, np.float32)
+        e = np.linspace(1.0 / (band + 1), 1.0, band, dtype=np.float32)
+        ramp[:band] = e
+        ramp[-band:] = e[::-1]
+        feather = torch.from_numpy(ramp[:, None] * ramp[None, :])
+
+        alpha = alpha_up.clone()
+        for b in range(n):
+            for i in range(k):
+                y, xx = int(py[b, i]), int(px[b, i])
+                alpha[b, 0, y:y + p, xx:xx + p] = (
+                    alpha[b, 0, y:y + p, xx:xx + p] + res[b, i, 0] * feather)
+        return alpha.clamp(0.0, 1.0), err
