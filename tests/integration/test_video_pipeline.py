@@ -83,3 +83,31 @@ def test_convert_video_tiled_refine():
     pipe = PipelineConfig(tile_size=64, tile_overlap=16)
     m = vidmat.convert_video(frames, downsample_ratio=0.25, pipe_cfg=pipe)
     assert m["frames"] == 3
+
+
+def test_convert_video_chunked_matches_per_frame():
+    """chunk_size>1 (lax.scan dispatch amortization) must produce the same
+    mattes as the per-frame path, including the partial tail chunk."""
+    import tempfile as tf
+
+    frames = list(synthetic_frames_only(64, 80, 7))  # 7 = 2 chunks of 3 + 1
+    from vidmat.models.weights import init_params
+
+    variables = init_params(ModelConfig())
+    outs = {}
+    for chunk in (1, 3):
+        d = tempfile.mkdtemp()
+        pattern = os.path.join(d, "a_%03d.png")
+        pipe = PipelineConfig(chunk_size=chunk, dtype="float32")
+        vidmat.convert_video(frames, output_alpha=pattern,
+                             downsample_ratio=1.0, pipe_cfg=pipe,
+                             variables=variables)
+        import glob
+
+        from vidmat.io.reader import read_image
+
+        outs[chunk] = [read_image(p)
+                       for p in sorted(glob.glob(os.path.join(d, "*.png")))]
+    assert len(outs[1]) == len(outs[3]) == 7
+    for a, b in zip(outs[1], outs[3]):
+        np.testing.assert_array_equal(a, b)

@@ -114,3 +114,15 @@ def test_errormap_refiner_parity():
                     torch.from_numpy(np.asarray(alpha_lr)).permute(0, 3, 1, 2))
     assert mad(np.asarray(ja), ta.permute(0, 2, 3, 1).numpy()) <= TOL
     assert mad(np.asarray(je), te.permute(0, 2, 3, 1).numpy()) <= TOL
+
+
+def test_size_variant_parity():
+    """Width-scaled variants share the parity contract (MODEL_SIZES)."""
+    from vidmat.config import MODEL_SIZES
+
+    for name in ("small", "large"):
+        base = MODEL_SIZES[name]
+        cfg = ModelConfig(enc_channels=base.enc_channels,
+                          dec_channels=base.dec_channels, recurrent=False)
+        ja, jf, _, ta, tf, _ = _run_pair(cfg, h=96, w=96, seed=31)
+        assert mad(ja, ta) <= TOL, name

@@ -80,6 +80,18 @@ class StreamConfig:
     downsample_ratio: float = 0.25
 
 
+# ---- Model size variants (width scaling; all share the same code path,
+# oracle mirror, and weight bridge) ----
+
+MODEL_SIZES = {
+    "small": ModelConfig(enc_channels=(12, 16, 24, 40),
+                         dec_channels=(32, 24, 16, 12)),
+    "base": ModelConfig(),
+    "large": ModelConfig(enc_channels=(32, 48, 80, 128),
+                         dec_channels=(96, 64, 48, 32)),
+}
+
+
 # ---- Presets: one per BASELINE.json workload rung ----
 
 def preset_pr1_image() -> tuple[ModelConfig, PipelineConfig]:

@@ -72,7 +72,14 @@ class VideoPipeline:
 
     def _build_step(self, h: int, w: int, ratio: float,
                     need_fgr: bool = False):
-        """One jitted device step for a (h, w) stream at a coarse ratio."""
+        """One jitted device step for a (h, w) stream at a coarse ratio.
+
+        Also returns a jitted chunk step (lax.scan of the same body over K
+        stacked frames) when pipe_cfg.chunk_size > 1 — the dispatch-
+        amortizing path for offline conversion on directly-attached TPUs
+        (on the dev tunnel per-frame dispatch measured faster; see
+        docs/PERFORMANCE.md).
+        """
         cfg = self.pipe_cfg
         cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         net_h, net_w = ((h, w) if ratio >= 1.0
@@ -106,8 +113,7 @@ class VideoPipeline:
                                and h // net_h == w // net_w) else 0)
         gf_impl = "pallas" if use_pallas else "xla"
 
-        @jax.jit
-        def step(variables, frame_u8, state):
+        def body(variables, frame_u8, state):
             # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
             frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
             if use_pallas and pool:
@@ -157,7 +163,19 @@ class VideoPipeline:
             fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
             return (alpha_u8, fgr_u8, rgba), new_state
 
-        return step, (net_h, net_w)
+        step = jax.jit(body)
+        chunk_step = None
+        if cfg.chunk_size > 1:
+            @jax.jit
+            def chunk_step(variables, frames_u8, state):
+                # frames_u8: (K, 1, H, W, 3)
+                def scan_body(s, f):
+                    outs, ns = body(variables, f, s)
+                    return ns, outs
+                new_state, outs = jax.lax.scan(scan_body, state, frames_u8)
+                return outs, new_state
+
+        return step, chunk_step, (net_h, net_w)
 
     def run(self, input_source: Union[str, Iterable[np.ndarray]],
             output_alpha: Optional[str] = None,
@@ -194,6 +212,8 @@ class VideoPipeline:
                 writers["comp"].write(rgba)
 
         n = 0
+        chunk_step = None
+        chunk_buf = []
         t_prev = time.perf_counter()
         for frame in source:
             if step is None:
@@ -201,7 +221,7 @@ class VideoPipeline:
                 ratio = (self.downsample_ratio if self.downsample_ratio
                          is not None else auto_downsample_ratio(fh, fw))
                 ph, pw = fh + ((-fh) % 16), fw + ((-fw) % 16)
-                step, (net_h, net_w) = self._build_step(
+                step, chunk_step, (net_h, net_w) = self._build_step(
                     ph, pw, ratio, need_fgr=bool(output_foreground))
                 cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
                           else jnp.float32)
@@ -220,12 +240,37 @@ class VideoPipeline:
             if self._pad != (0, 0):
                 from vidmat.io.native import pad_stack
 
-                dev_frame = jnp.asarray(
-                    pad_stack([frame], frame.shape[0] + self._pad[0],
-                              frame.shape[1] + self._pad[1]))
+                host_frame = pad_stack([frame],
+                                       frame.shape[0] + self._pad[0],
+                                       frame.shape[1] + self._pad[1])
             else:
-                dev_frame = jnp.asarray(frame)[None]
-            outs, state = step(self.variables, dev_frame, state)
+                host_frame = frame[None]
+            if chunk_step is not None:
+                # Chunked path: K frames per dispatch via lax.scan.
+                chunk_buf.append(host_frame)
+                if len(chunk_buf) < self.pipe_cfg.chunk_size:
+                    continue
+                stacked = jnp.asarray(np.stack(chunk_buf))
+                chunk_buf = []
+                outs_k, state = chunk_step(self.variables, stacked, state)
+                if pending is not None:
+                    flush(pending)
+                    pending = None
+                k = self.pipe_cfg.chunk_size
+                for i in range(k):
+                    part = (jax.tree_util.tree_map(lambda x: x[i], outs_k)
+                            if isinstance(outs_k, tuple) else outs_k[i])
+                    if i < k - 1:
+                        flush(part)
+                    else:
+                        pending = part  # overlap last frame's D2H/encode
+                    n += 1
+                    t_now = time.perf_counter()
+                    metrics.record_frame((t_now - t_prev) / k)
+                t_prev = time.perf_counter()
+                continue
+            outs, state = step(self.variables, jnp.asarray(host_frame),
+                               state)
             if pending is not None:
                 flush(pending)  # overlap: host writes frame t-1 while device
                 # computes frame t
@@ -237,6 +282,14 @@ class VideoPipeline:
             if progress and n % 50 == 0:
                 print(f"frame {n}", flush=True)
 
+        # Drain the partial last chunk with the per-frame step.
+        for host_frame in chunk_buf:
+            outs, state = step(self.variables, jnp.asarray(host_frame),
+                               state)
+            if pending is not None:
+                flush(pending)
+            pending = outs
+            n += 1
         if pending is not None:
             jax.block_until_ready(pending)
             flush(pending)
