@@ -48,7 +48,6 @@ def randomize_bn_stats(variables: Dict[str, Any], seed: int = 1,
     identity-stats normalization.
     """
     rng = np.random.RandomState(seed)
-    stats = jax.tree_util.tree_map(lambda x: x, variables["batch_stats"])
 
     def walk(d):
         for k, v in d.items():
@@ -61,9 +60,7 @@ def randomize_bn_stats(variables: Dict[str, Any], seed: int = 1,
                 d[k] = jnp.asarray(
                     rng.uniform(0.5, 1.5, v.shape).astype(np.float32))
 
-    stats = jax.tree_util.tree_map(np.asarray, stats)
-    stats = jax.tree_util.tree_map(jnp.asarray, stats)
-    stats = _to_mutable(stats)
+    stats = _to_mutable(variables["batch_stats"])
     walk(stats)
     return {"params": variables["params"], "batch_stats": stats}
 

@@ -68,7 +68,6 @@ class VideoPipeline:
             self._refiner = ErrorMapRefiner(
                 num_patches=self.pipe_cfg.refine.errormap_patches,
                 patch_size=self.pipe_cfg.refine.errormap_patch_size)
-        self._compiled = {}
 
     def _build_step(self, h: int, w: int, ratio: float,
                     need_fgr: bool = False):
