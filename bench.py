@@ -78,11 +78,18 @@ def main() -> None:
     else:
         h, w, ratio, frames_timed = 1088, 1920, 0.25, 240
 
-    cfg = ModelConfig()
+    # TPU-first serving model: space_to_depth=2 halves every feature grid
+    # (small-channel activations are lane-padded to 128, so HBM traffic
+    # scales with H*W, not C — docs/PERFORMANCE.md); random weights (the
+    # throughput metric is weight-agnostic).
+    cfg = ModelConfig(space_to_depth=2)
     cdtype = jnp.bfloat16
     net = MattingNetwork(cfg, dtype=cdtype)  # true bf16 conv path
     variables = init_params(cfg)
     net_h, net_w = downsample_ratio_shape(h, w, ratio)
+    mult = 16 * cfg.space_to_depth
+    pad_h = -net_h % mult
+    pad_w = -net_w % mult
     refine = RefineConfig()
 
     # Integer pool factor => the fused Pallas ingest kernel (area
@@ -94,6 +101,10 @@ def main() -> None:
     from vidmat.ops.pallas import (composite_rgba_packed,
                                    ingest_pool_normalize)
 
+    from vidmat.ops.guided_filter import gray_guide
+    from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
+    from vidmat.ops.pallas.refine_kernel import fused_refine_composite
+
     @jax.jit
     def step(variables, frame_u8, state):
         if use_pallas and pool:
@@ -101,15 +112,27 @@ def main() -> None:
         else:
             frame32 = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
             x = resize_bilinear(frame32.astype(cdtype), net_h, net_w)
+        # pad the coarse grid to the s2d multiple; crop outputs back
+        xp = (jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                      mode="edge") if (pad_h or pad_w) else x)
+        alpha, fgr, new_state = net.apply(variables, xp, state)
+        alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
+        fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
+        if use_pallas and pool > 1:
+            # fully fused tail: GF stats at coarse res + one-pass upsample/
+            # apply/composite/pack kernel (BASELINE.json:5 north star)
+            p = jnp.concatenate([alpha, fgr], axis=-1)
+            ma, mb = guided_filter_coeffs(
+                gray_guide(x.astype(jnp.float32)), p,
+                radius=refine.guided_radius, eps=refine.guided_eps)
+            packed = fused_refine_composite(frame_u8, ma, mb, None,
+                                            pool=pool)
+            return packed, packed, new_state
         frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
-        alpha, fgr, new_state = net.apply(variables, x, state)
-        alpha, fgr = guided_upsample(frame, alpha.astype(jnp.float32),
-                                     fgr.astype(jnp.float32),
+        alpha, fgr = guided_upsample(frame, alpha, fgr,
                                      refine.guided_radius, refine.guided_eps,
                                      impl="pallas" if use_pallas else "xla")
         if use_pallas:
-            # Packed RGBA words: alpha rides the high byte; host unpacks by
-            # zero-copy view (ops.pallas.composite_kernel.unpack_rgba_host).
             packed = composite_rgba_packed(fgr, alpha, None)
             return packed, packed, new_state
         rgba = composite_rgba(fgr, alpha, None)
@@ -126,7 +149,7 @@ def main() -> None:
     ring = [jax.device_put(rng.randint(0, 255, (batch, h, w, 3), np.uint8))
             for _ in range(4)]
 
-    state0 = init_state(cfg, batch, net_h, net_w, cdtype)
+    state0 = init_state(cfg, batch, net_h + pad_h, net_w + pad_w, cdtype)
 
     def run_chain(n_frames: int) -> float:
         """Time n_frames chained steps; one D2H sync at the end (the output

@@ -126,3 +126,17 @@ def test_size_variant_parity():
                           dec_channels=base.dec_channels, recurrent=False)
         ja, jf, _, ta, tf, _ = _run_pair(cfg, h=96, w=96, seed=31)
         assert mad(ja, ta) <= TOL, name
+
+
+def test_space_to_depth_parity():
+    """TPU-first s2d packing variant: parity incl. recurrent state (state
+    grids shift down by the packing factor)."""
+    cfg = ModelConfig(recurrent=True, space_to_depth=2)
+    h = w = 128
+    jstate = init_state(cfg, 1, h, w)
+    ja, jf, jns, ta, tf, tns = _run_pair(cfg, h=h, w=w, seed=13,
+                                         state_pair=(jstate, None))
+    assert mad(ja, ta) <= TOL
+    assert mad(jf, tf) <= TOL
+    for jh, th in zip([jns.h3, jns.h2, jns.h1], tns):
+        assert mad(np.asarray(jh), th.permute(0, 2, 3, 1).numpy()) <= TOL

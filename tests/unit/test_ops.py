@@ -105,3 +105,14 @@ def test_composite_no_bg_premultiplied():
     alpha = jnp.full((1, 4, 4, 1), 0.25)
     out = np.asarray(composite_rgba(fgr, alpha, None))
     assert abs(int(out[0, 0, 0, 0]) - 64) <= 1  # premultiplied
+
+
+def test_space_to_depth_roundtrip():
+    from vidmat.models.matting_net import depth_to_space, space_to_depth
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(2, 8, 12, 5).astype(np.float32))
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 4, 6, 20)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(y, 2)),
+                                  np.asarray(x))

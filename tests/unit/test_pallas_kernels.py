@@ -83,3 +83,33 @@ def test_guided_upsample_pallas_close_to_xla():
         ap, fp = guided_upsample(rgb, a_lr, f_lr, impl="pallas")
     assert np.abs(np.asarray(ax) - np.asarray(ap)).max() < 1e-2
     assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-2
+
+
+def test_fused_refine_composite_matches_oracle():
+    """North-star fused kernel: coeff upsample + guided apply + composite +
+    RGBA pack in one pass vs the unfused jnp oracle (interpret mode)."""
+    from vidmat.ops.guided_filter import gray_guide
+    from vidmat.ops.pallas.refine_kernel import fused_refine_composite
+    from vidmat.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(7)
+    n, h, w, pool = 2, 64, 128, 4
+    frame = rng.randint(0, 255, (n, h, w, 3), np.uint8)
+    a_lr = rng.uniform(-0.5, 1.5, (n, h // pool, w // pool, 4)
+                       ).astype(np.float32)
+    b_lr = rng.uniform(-0.5, 1.0, (n, h // pool, w // pool, 4)
+                       ).astype(np.float32)
+
+    for bg in (None, jnp.array([0.0, 1.0, 0.0])):
+        got = unpack_rgba_host(np.asarray(fused_refine_composite(
+            jnp.asarray(frame), jnp.asarray(a_lr), jnp.asarray(b_lr), bg,
+            pool=pool, interpret=True)))
+        guide = gray_guide(jnp.asarray(frame).astype(jnp.float32) / 255.0)
+        A = resize_bilinear(jnp.asarray(a_lr), h, w)
+        B = resize_bilinear(jnp.asarray(b_lr), h, w)
+        out = A * guide + B
+        alpha = jnp.clip(out[..., 0:1], 0, 1)
+        fgr = jnp.clip(out[..., 1:4], 0, 1)
+        want = np.asarray(composite_rgba(fgr, alpha, bg))
+        d = np.abs(got.astype(int) - want.astype(int))
+        assert d.max() <= 1, d.max()  # +-1 quantization of f32 rounding

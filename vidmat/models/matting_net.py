@@ -50,13 +50,37 @@ class RecurrentState(NamedTuple):
 
 def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
                dtype=jnp.float32) -> RecurrentState:
-    """Zero-initialized temporal state for a (batch, height, width) stream."""
+    """Zero-initialized temporal state for a (batch, height, width) stream
+    (height/width are the FRAME dims; space_to_depth shifts the feature
+    grids down by the packing factor)."""
     d = cfg.dec_channels
+    s = cfg.space_to_depth
     return RecurrentState(
-        h3=jnp.zeros((batch, height // 8, width // 8, d[0] // 2), dtype),
-        h2=jnp.zeros((batch, height // 4, width // 4, d[1] // 2), dtype),
-        h1=jnp.zeros((batch, height // 2, width // 2, d[2] // 2), dtype),
+        h3=jnp.zeros((batch, height // (8 * s), width // (8 * s),
+                      d[0] // 2), dtype),
+        h2=jnp.zeros((batch, height // (4 * s), width // (4 * s),
+                      d[1] // 2), dtype),
+        h1=jnp.zeros((batch, height // (2 * s), width // (2 * s),
+                      d[2] // 2), dtype),
     )
+
+
+def space_to_depth(x: jax.Array, r: int) -> jax.Array:
+    """(N, H, W, C) -> (N, H/r, W/r, r*r*C), channel order [dy, dx, c]
+    (c fastest). Mirrored exactly by the torch oracle."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x: jax.Array, r: int) -> jax.Array:
+    """Inverse of space_to_depth."""
+    n, h, w, c4 = x.shape
+    c = c4 // (r * r)
+    x = x.reshape(n, h, w, r, r, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h * r, w * r, c)
 
 
 class Encoder(nn.Module):
@@ -132,11 +156,13 @@ class MattingNetwork(nn.Module):
         eps = cfg.bn_eps
         dt = self.dtype
         rec = cfg.recurrent
+        s2d = cfg.space_to_depth
         rgb = frame[..., :3]
         if dt is not None:
             frame = frame.astype(dt)
+        x_in = space_to_depth(frame, s2d) if s2d > 1 else frame
 
-        f1, f2, f3, f4 = Encoder(cfg, dtype=dt, name="encoder")(frame)
+        f1, f2, f3, f4 = Encoder(cfg, dtype=dt, name="encoder")(x_in)
         b4 = BottleneckGate(cfg.enc_channels[3], bn_eps=eps, dtype=dt,
                             name="bottleneck")(f4)
 
@@ -149,13 +175,18 @@ class MattingNetwork(nn.Module):
         x, n1 = DecoderStage(d[2], rec, eps, dt, name="d1")(x, f1, h1)
 
         # Full-res stage: upsample + condition on the raw frame (no GRU at
-        # full res — state stays small).
+        # full res — state stays small). With space_to_depth the stage runs
+        # on the packed grid and the head emits all subpixels, restored by
+        # depth_to_space.
         x = upsample2x(x)
-        x = jnp.concatenate([x, rgb.astype(x.dtype)], axis=-1)
+        cond = space_to_depth(frame, s2d) if s2d > 1 else rgb.astype(x.dtype)
+        x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
         x = ConvBNAct(d[3], bn_eps=eps, dtype=dt, name="d0")(x)
 
-        out = nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
-                      name="head")(x)
+        out = nn.Conv(4 * s2d * s2d, (3, 3), padding=((1, 1), (1, 1)),
+                      dtype=dt, name="head")(x)
+        if s2d > 1:
+            out = depth_to_space(out, s2d)
         out = out.astype(jnp.float32)
         rgb = rgb.astype(jnp.float32)
         alpha = jnp.clip(out[..., 0:1], 0.0, 1.0)

@@ -68,12 +68,31 @@ class TBottleneckGate(nn.Module):
         return a * torch.sigmoid(g)
 
 
+def _s2d(x: torch.Tensor, r: int) -> torch.Tensor:
+    """NCHW space-to-depth with channel order [dy, dx, c] (c fastest) —
+    exact mirror of vidmat.models.matting_net.space_to_depth."""
+    n, c, h, w = x.shape
+    x = x.reshape(n, c, h // r, r, w // r, r)
+    x = x.permute(0, 3, 5, 1, 2, 4)
+    return x.reshape(n, r * r * c, h // r, w // r)
+
+
+def _d2s(x: torch.Tensor, r: int) -> torch.Tensor:
+    n, c4, h, w = x.shape
+    c = c4 // (r * r)
+    x = x.reshape(n, r, r, c, h, w)
+    x = x.permute(0, 3, 4, 1, 5, 2)
+    return x.reshape(n, c, h * r, w * r)
+
+
 class TEncoder(nn.Module):
     def __init__(self, cfg: ModelConfig):
         super().__init__()
         c = cfg.enc_channels
         e = cfg.bn_eps
-        self.stem = TConvBNAct(cfg.in_channels, c[0], stride=2, bn_eps=e)
+        s2 = cfg.space_to_depth
+        in_ch = cfg.in_channels * s2 * s2
+        self.stem = TConvBNAct(in_ch, c[0], stride=2, bn_eps=e)
         self.s2a = TConvBNAct(c[0], c[1], stride=2, bn_eps=e)
         self.s2b = TConvBNAct(c[1], c[1], bn_eps=e)
         self.s3a = TConvBNAct(c[1], c[2], stride=2, bn_eps=e)
@@ -121,21 +140,28 @@ class TorchMattingNetwork(nn.Module):
         self.d3 = TDecoderStage(c[3], c[2], d[0], cfg.recurrent, e)
         self.d2 = TDecoderStage(d[0], c[1], d[1], cfg.recurrent, e)
         self.d1 = TDecoderStage(d[1], c[0], d[2], cfg.recurrent, e)
-        self.d0 = TConvBNAct(d[2] + 3, d[3], bn_eps=e)
-        self.head = nn.Conv2d(d[3], 4, 3, padding=1)
+        s2 = cfg.space_to_depth
+        cond_ch = cfg.in_channels * s2 * s2 if s2 > 1 else 3
+        self.d0 = TConvBNAct(d[2] + cond_ch, d[3], bn_eps=e)
+        self.head = nn.Conv2d(d[3], 4 * s2 * s2, 3, padding=1)
 
     @torch.no_grad()
     def forward(self, frame, state=None):
         """frame: (N, C, H, W) in [0,1]; state: (h3, h2, h1) NCHW or None."""
         rgb = frame[:, :3]
-        f1, f2, f3, f4 = self.encoder(frame)
+        s2 = self.cfg.space_to_depth
+        x_in = _s2d(frame, s2) if s2 > 1 else frame
+        f1, f2, f3, f4 = self.encoder(x_in)
         b4 = self.bottleneck(f4)
         h3, h2, h1 = state if state is not None else (None, None, None)
         x, n3 = self.d3(b4, f3, h3)
         x, n2 = self.d2(x, f2, h2)
         x, n1 = self.d1(x, f1, h1)
-        x = self.d0(torch.cat([_up2x(x), rgb], dim=1))
+        cond = _s2d(frame, s2) if s2 > 1 else rgb
+        x = self.d0(torch.cat([_up2x(x), cond], dim=1))
         out = self.head(x)
+        if s2 > 1:
+            out = _d2s(out, s2)
         alpha = out[:, 0:1].clamp(0.0, 1.0)
         fgr = (out[:, 1:4] + rgb).clamp(0.0, 1.0)
         if self.cfg.use_trimap and frame.shape[1] >= 4:

@@ -1,0 +1,153 @@
+"""Fused guided-refine + composite kernel — the BASELINE.json:5 north-star
+stage ("alpha refinement ... and foreground compositing become fused Pallas
+kernels that emit composited RGBA directly").
+
+Motivation (measured, docs/PERFORMANCE.md): the XLA tail of the 1080p step
+(upsample guided-filter coefficients to full res, apply a*guide+b,
+composite, quantize) costs ~18 GFLOP and ~1.4 GB of HBM traffic per frame,
+because XLA lowers the x4 bilinear resize of 8 coefficient channels to
+dense interpolation matmuls with materialized full-res f32 intermediates.
+
+This kernel performs the whole tail in one pass over output row tiles:
+  - row-direction bilinear upsample of (a, b) as a small banded matmul
+    V_tile @ coeff (exact half-pixel semantics, MXU, ~2 GFLOP total)
+  - column-direction upsample as pltpu.repeat + rolls with periodic
+    per-column weights built from iota (VPU, no matmul)
+  - guide = luma(frame u8) computed in-register
+  - alpha/fgr = a*guide + b, optional background blend, quantize, and
+    RGBA byte-pack into uint32 words
+
+HBM traffic per 1080p frame: ~6 MB frame in + ~4 MB coeffs in + 8 MB
+packed out (vs ~1.4 GB), FLOPs ~2.5 G (vs ~20 G).
+
+Channel convention for (a, b): [alpha, fgr_r, fgr_g, fgr_b] — matching
+vidmat.ops.guided_filter.guided_upsample's stacked order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _col_upsample_matrix(wl: int, w: int, pool: int):
+    """Banded bilinear column-upsample matrix U (wl, w): out = rows @ U.
+
+    Built from iota in-register per program; the matmul stays in VMEM so
+    its FLOPs ride the MXU with zero HBM traffic (element-repeat along
+    lanes is not expressible in Mosaic — pltpu.repeat is tile-repeat)."""
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (wl, w), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (wl, w), 1)
+    src = jnp.clip((j.astype(jnp.float32) + 0.5) / pool - 0.5, 0.0,
+                   float(wl - 1))
+    l = jnp.floor(src)
+    frac = src - l
+    li = l.astype(jnp.int32)
+    return jnp.where(lrow == li, 1.0 - frac,
+                     jnp.where(lrow == li + 1, frac, 0.0))
+
+
+def _row_upsample_matrix(th: int, hl: int, pool: int, r0):
+    """Banded bilinear row-upsample matrix V (th, hl) for output rows
+    [r0, r0+th), exact half-pixel semantics with edge clamp."""
+    local = jax.lax.broadcasted_iota(jnp.int32, (th, hl), 0)
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (th, hl), 1)
+    r = (local + r0).astype(jnp.float32)
+    src = jnp.clip((r + 0.5) / pool - 0.5, 0.0, float(hl - 1))
+    l = jnp.floor(src)
+    frac = src - l
+    li = l.astype(jnp.int32)
+    return jnp.where(lcol == li, 1.0 - frac,
+                     jnp.where(lcol == li + 1, frac, 0.0))
+
+
+def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
+                   th: int):
+    i = pl.program_id(0)
+    _, hl, wl = a_ref.shape
+    w = out_ref.shape[1]
+
+    V = _row_upsample_matrix(th, hl, pool, i * th)
+    U = _col_upsample_matrix(wl, w, pool)
+
+    def upsample(c_ref, c):
+        lr = c_ref[c]  # (hl, wl)
+        rows = jnp.dot(V, lr, preferred_element_type=jnp.float32)  # (th, wl)
+        return jnp.dot(rows, U, preferred_element_type=jnp.float32)
+
+    # guide: luma of the u8 frame tile (planar (3, th, W))
+    r = frame_ref[0].astype(jnp.int32).astype(jnp.float32)
+    g = frame_ref[1].astype(jnp.int32).astype(jnp.float32)
+    b = frame_ref[2].astype(jnp.int32).astype(jnp.float32)
+    guide = (0.299 * r + 0.587 * g + 0.114 * b) * (1.0 / 255.0)
+
+    alpha = jnp.clip(upsample(a_ref, 0) * guide + upsample(b_ref, 0),
+                     0.0, 1.0)
+    use_bg = bg_ref[0, 3] > 0.5
+    word = jnp.round(alpha * 255.0).astype(jnp.int32) << 24
+    for c in range(3):
+        fgr = jnp.clip(upsample(a_ref, c + 1) * guide
+                       + upsample(b_ref, c + 1), 0.0, 1.0)
+        bg_c = bg_ref[0, c]
+        rgb = jnp.where(use_bg, fgr * alpha + bg_c * (1.0 - alpha),
+                        fgr * alpha)
+        q = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        word = word | (q << (8 * c))
+    out_ref[...] = pltpu.bitcast(word, jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("pool", "interpret"))
+def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
+                           b_lr: jax.Array, bg=None, pool: int = 4,
+                           interpret: bool = False) -> jax.Array:
+    """Fused coefficient-upsample + guided apply + composite + RGBA pack.
+
+    frame_u8: (N, H, W, 3) uint8; a_lr/b_lr: (N, H/pool, W/pool, 4) f32
+    (channels [alpha, r, g, b]); bg: (3,) color or None (premultiplied).
+    Returns (N, H, W) uint32 packed RGBA (little-endian R|G<<8|B<<16|A<<24).
+    """
+    n, h, w, _ = frame_u8.shape
+    _, hl, wl, c4 = a_lr.shape
+    if (h // hl != pool) or (w // wl != pool) or c4 != 4:
+        raise ValueError("coeff grid must be full_res / pool with 4 channels")
+    if bg is None:
+        bg4 = jnp.zeros((4,), jnp.float32)
+    else:
+        bg4 = jnp.concatenate([jnp.asarray(bg, jnp.float32),
+                               jnp.ones((1,), jnp.float32)])
+
+    th = 64
+    while h % th:
+        th //= 2
+    kernel = functools.partial(_refine_kernel, pool=pool, th=th)
+
+    frame_p = jnp.transpose(frame_u8, (0, 3, 1, 2))
+    a_p = jnp.transpose(a_lr.astype(jnp.float32), (0, 3, 1, 2))
+    b_p = jnp.transpose(b_lr.astype(jnp.float32), (0, 3, 1, 2))
+
+    def one(fr, ap, bp):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint32),
+            grid=(h // th,),
+            in_specs=[
+                pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, hl, wl), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, hl, wl), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((th, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(fr, ap, bp, bg4[None])
+
+    return jax.vmap(one)(frame_p, a_p, b_p)

@@ -65,6 +65,9 @@ class MultiStreamMatting:
         net = MattingNetwork(cfg, dtype=cdtype if dtype == "bfloat16"
                              else None)
         bg = jnp.asarray(bg_color, jnp.float32) if bg_color is not None else None
+        mult = 16 * cfg.space_to_depth
+        pad_nh, pad_nw = -net_h % mult, -net_w % mult
+        self._state_hw = (net_h + pad_nh, net_w + pad_nw)
 
         def step(variables, frames_u8, state, reset_mask):
             # masked per-stream state reset (scene cut / stream restart)
@@ -75,9 +78,11 @@ class MultiStreamMatting:
             x = frames.astype(cdtype)
             if not full:
                 x = resize_bilinear(x, net_h, net_w)
+            x = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
+                         mode="edge") if (pad_nh or pad_nw) else x)
             alpha, fgr, new_state = net.apply(variables, x, state)
-            alpha = alpha.astype(jnp.float32)
-            fgr = fgr.astype(jnp.float32)
+            alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
+            fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
             if not full:
                 if refine.mode == "guided":
                     alpha, fgr = guided_upsample(frames, alpha, fgr,
@@ -106,7 +111,7 @@ class MultiStreamMatting:
             self._sharding = None
             self._step = jax.jit(step)
         self.mesh = mesh
-        self.state = init_state(cfg, num_streams, net_h, net_w, cdtype)
+        self.state = init_state(cfg, num_streams, *self._state_hw, cdtype)
         if self._sharding is not None:
             self.state = jax.device_put(self.state, self._sharding)
 

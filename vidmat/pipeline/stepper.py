@@ -105,6 +105,9 @@ class VideoStepper:
         net_h, net_w = self.net_h, self.net_w
         full = (net_h, net_w) == (height, width)
         cdtype = self.dtype
+        mult = 16 * cfg.space_to_depth
+        pad_nh, pad_nw = -net_h % mult, -net_w % mult
+        self._state_hw = (net_h + pad_nh, net_w + pad_nw)
 
         @jax.jit
         def step(variables, frame, state):
@@ -112,7 +115,11 @@ class VideoStepper:
             x = frame.astype(cdtype)
             if not full:
                 x = resize_bilinear(x, net_h, net_w)
-            alpha, fgr, new_state = self.net.apply(variables, x, state)
+            xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
+                          mode="edge") if (pad_nh or pad_nw) else x)
+            alpha, fgr, new_state = self.net.apply(variables, xp, state)
+            alpha = alpha[:, :net_h, :net_w]
+            fgr = fgr[:, :net_h, :net_w]
             if not full:
                 alpha, fgr = guided_upsample(
                     frame, alpha.astype(jnp.float32),
@@ -123,8 +130,7 @@ class VideoStepper:
         self.reset()
 
     def reset(self) -> None:
-        self.state = (init_state(self.cfg, 1, self.net_h, self.net_w,
-                                 self.dtype)
+        self.state = (init_state(self.cfg, 1, *self._state_hw, self.dtype)
                       if self.cfg.recurrent else None)
 
     def step(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

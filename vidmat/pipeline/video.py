@@ -111,6 +111,15 @@ class VideoPipeline:
                                and w % net_w == 0
                                and h // net_h == w // net_w) else 0)
         gf_impl = "pallas" if use_pallas else "xla"
+        # space_to_depth models need the coarse grid padded to 16*s2d.
+        mult = 16 * self.model_cfg.space_to_depth
+        pad_nh = -net_h % mult
+        pad_nw = -net_w % mult
+        # fully fused tail (coeffs at coarse res + one-pass refine/composite
+        # kernel) applies on the packed pallas path with an integer pool
+        # and guided refinement without tiling.
+        use_fused = (use_packed and pool > 1 and refine.mode == "guided"
+                     and not cfg.tile_size)
 
         def body(variables, frame_u8, state):
             # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
@@ -124,9 +133,24 @@ class VideoPipeline:
                 x = frame.astype(cdtype)
                 if not full:
                     x = resize_bilinear(x, net_h, net_w)
-            alpha, fgr, new_state = net.apply(variables, x, state)
-            alpha = alpha.astype(jnp.float32)
-            fgr = fgr.astype(jnp.float32)
+            xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
+                          mode="edge") if (pad_nh or pad_nw) else x)
+            alpha, fgr, new_state = net.apply(variables, xp, state)
+            alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
+            fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
+            if use_fused:
+                from vidmat.ops.guided_filter import gray_guide
+                from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
+                from vidmat.ops.pallas.refine_kernel import (
+                    fused_refine_composite)
+
+                p = jnp.concatenate([alpha, fgr], axis=-1)
+                ma, mb = guided_filter_coeffs(
+                    gray_guide(x.astype(jnp.float32)), p,
+                    radius=refine.guided_radius, eps=refine.guided_eps)
+                packed = fused_refine_composite(frame_u8, ma, mb, bg,
+                                                pool=pool)
+                return packed, new_state
             if not full:
                 if refine.mode == "guided" and cfg.tile_size and pool:
                     # Tiled/patch full-res refine with overlap blending
@@ -174,7 +198,7 @@ class VideoPipeline:
                 new_state, outs = jax.lax.scan(scan_body, state, frames_u8)
                 return outs, new_state
 
-        return step, chunk_step, (net_h, net_w)
+        return step, chunk_step, (net_h + pad_nh, net_w + pad_nw)
 
     def run(self, input_source: Union[str, Iterable[np.ndarray]],
             output_alpha: Optional[str] = None,
@@ -220,11 +244,12 @@ class VideoPipeline:
                 ratio = (self.downsample_ratio if self.downsample_ratio
                          is not None else auto_downsample_ratio(fh, fw))
                 ph, pw = fh + ((-fh) % 16), fw + ((-fw) % 16)
-                step, chunk_step, (net_h, net_w) = self._build_step(
+                step, chunk_step, (state_h, state_w) = self._build_step(
                     ph, pw, ratio, need_fgr=bool(output_foreground))
                 cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
                           else jnp.float32)
-                state = (init_state(self.model_cfg, 1, net_h, net_w, cdtype)
+                state = (init_state(self.model_cfg, 1, state_h, state_w,
+                                    cdtype)
                          if self.model_cfg.recurrent else None)
                 if output_alpha:
                     writers["alpha"] = VideoWriter(output_alpha, source.fps)
