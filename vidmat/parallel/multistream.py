@@ -68,6 +68,7 @@ class MultiStreamMatting:
         mult = 16 * cfg.space_to_depth
         pad_nh, pad_nw = -net_h % mult, -net_w % mult
         self._state_hw = (net_h + pad_nh, net_w + pad_nw)
+        use_pallas = jax.default_backend() == "tpu"
 
         def step(variables, frames_u8, state, reset_mask):
             # masked per-stream state reset (scene cut / stream restart)
@@ -83,6 +84,32 @@ class MultiStreamMatting:
             alpha, fgr, new_state = net.apply(variables, x, state)
             alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
             fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
+            pool = (height // net_h
+                    if (not full and height % net_h == 0
+                        and width % net_w == 0
+                        and height // net_h == width // net_w) else 0)
+            if (use_pallas and pool > 1 and refine.mode == "guided"
+                    and bg is not None):
+                # fully fused tail (see pipeline/video.py): emits packed
+                # RGBA; alpha is the high byte.
+                from vidmat.ops.guided_filter import gray_guide
+                from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
+                from vidmat.ops.pallas.refine_kernel import (
+                    fused_refine_composite)
+
+                x32 = (x[:, :net_h, :net_w] if (pad_nh or pad_nw)
+                       else x).astype(jnp.float32)
+                p = jnp.concatenate([alpha, fgr], axis=-1)
+                ma, mb = guided_filter_coeffs(gray_guide(x32), p,
+                                              radius=refine.guided_radius,
+                                              eps=refine.guided_eps)
+                packed = fused_refine_composite(frames_u8, ma, mb, bg,
+                                                pool=pool)
+                alpha_u8 = (packed >> 24).astype(jnp.uint8)
+                rgba_u8 = jnp.stack(
+                    [((packed >> (8 * c)) & 0xFF).astype(jnp.uint8)
+                     for c in range(4)], axis=-1)
+                return alpha_u8[..., None], rgba_u8, new_state
             if not full:
                 if refine.mode == "guided":
                     alpha, fgr = guided_upsample(frames, alpha, fgr,
