@@ -116,3 +116,15 @@ def test_space_to_depth_roundtrip():
     assert y.shape == (2, 4, 6, 20)
     np.testing.assert_array_equal(np.asarray(depth_to_space(y, 2)),
                                   np.asarray(x))
+
+
+def test_rgba_image_roundtrip(tmp_path):
+    import os
+
+    from vidmat.io.reader import read_image
+    from vidmat.io.writer import write_image
+
+    rgba = np.random.RandomState(0).randint(0, 255, (16, 20, 4), np.uint8)
+    p = os.path.join(str(tmp_path), "x.png")
+    write_image(p, rgba)
+    np.testing.assert_array_equal(read_image(p), rgba)
