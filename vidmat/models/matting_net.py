@@ -189,6 +189,7 @@ class MattingNetwork(nn.Module):
             out = depth_to_space(out, s2d)
         out = out.astype(jnp.float32)
         rgb = rgb.astype(jnp.float32)
+
         alpha = jnp.clip(out[..., 0:1], 0.0, 1.0)
         fgr = jnp.clip(out[..., 1:4] + rgb, 0.0, 1.0)
 
