@@ -30,6 +30,10 @@ class ConvBNAct(nn.Module):
     act: bool = True
     bn_eps: float = 1e-5
     dtype: Optional[object] = None  # computation dtype (None = f32 promote)
+    # True during training: normalize with batch statistics and update the
+    # running stats (mutable=['batch_stats']); False (inference/parity)
+    # uses the stored running stats as a frozen affine.
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -39,7 +43,8 @@ class ConvBNAct(nn.Module):
                     padding=((p, p), (p, p)), use_bias=not self.use_bn,
                     dtype=self.dtype, name="conv")(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=True, epsilon=self.bn_eps,
+            x = nn.BatchNorm(use_running_average=not self.bn_train,
+                             epsilon=self.bn_eps, momentum=0.99,
                              dtype=self.dtype, name="bn")(x)
         if self.act:
             x = nn.relu(x)
@@ -81,11 +86,13 @@ class BottleneckGate(nn.Module):
     features: int
     bn_eps: float = 1e-5
     dtype: Optional[object] = None
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         a = ConvBNAct(self.features, kernel=1, bn_eps=self.bn_eps,
-                      dtype=self.dtype, name="proj")(x)
+                      dtype=self.dtype, bn_train=self.bn_train,
+                      name="proj")(x)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
         g = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="gate")(g)
         return a * jax.nn.sigmoid(g)

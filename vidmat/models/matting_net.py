@@ -86,19 +86,22 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
 class Encoder(nn.Module):
     cfg: ModelConfig
     dtype: Optional[object] = None
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
         c = self.cfg.enc_channels
         eps = self.cfg.bn_eps
-        dt = self.dtype
-        f1 = ConvBNAct(c[0], stride=2, bn_eps=eps, dtype=dt, name="stem")(x)
-        f2 = ConvBNAct(c[1], stride=2, bn_eps=eps, dtype=dt, name="s2a")(f1)
-        f2 = ConvBNAct(c[1], stride=1, bn_eps=eps, dtype=dt, name="s2b")(f2)
-        f3 = ConvBNAct(c[2], stride=2, bn_eps=eps, dtype=dt, name="s3a")(f2)
-        f3 = ConvBNAct(c[2], stride=1, bn_eps=eps, dtype=dt, name="s3b")(f3)
-        f4 = ConvBNAct(c[3], stride=2, bn_eps=eps, dtype=dt, name="s4a")(f3)
-        f4 = ConvBNAct(c[3], stride=1, bn_eps=eps, dtype=dt, name="s4b")(f4)
+
+        def cba(feats, stride, name):
+            return ConvBNAct(feats, stride=stride, bn_eps=eps,
+                             dtype=self.dtype, bn_train=self.bn_train,
+                             name=name)
+
+        f1 = cba(c[0], 2, "stem")(x)
+        f2 = cba(c[1], 1, "s2b")(cba(c[1], 2, "s2a")(f1))
+        f3 = cba(c[2], 1, "s3b")(cba(c[2], 2, "s3a")(f2))
+        f4 = cba(c[3], 1, "s4b")(cba(c[3], 2, "s4a")(f3))
         return f1, f2, f3, f4
 
 
@@ -114,6 +117,7 @@ class DecoderStage(nn.Module):
     recurrent: bool
     bn_eps: float = 1e-5
     dtype: Optional[object] = None
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array,
@@ -121,7 +125,7 @@ class DecoderStage(nn.Module):
         x = upsample2x(x)
         x = jnp.concatenate([x, skip], axis=-1)
         x = ConvBNAct(self.features, bn_eps=self.bn_eps, dtype=self.dtype,
-                      name="conv")(x)
+                      bn_train=self.bn_train, name="conv")(x)
         if not self.recurrent:
             return x, None
         a, b = jnp.split(x, 2, axis=-1)
@@ -147,6 +151,11 @@ class MattingNetwork(nn.Module):
     # Computation dtype: None = float32 (parity path); jnp.bfloat16 for the
     # serving path (params stay float32; flax casts per-layer).
     dtype: Optional[object] = None
+    # Training mode for BatchNorm: batch statistics + mutable running-stat
+    # updates. Inference (default) uses frozen running stats. A frozen-BN
+    # training path leaves the deep stack unnormalized and was the root
+    # cause of the s2d variant's optimization collapse.
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, frame: jax.Array,
@@ -162,17 +171,19 @@ class MattingNetwork(nn.Module):
             frame = frame.astype(dt)
         x_in = space_to_depth(frame, s2d) if s2d > 1 else frame
 
-        f1, f2, f3, f4 = Encoder(cfg, dtype=dt, name="encoder")(x_in)
+        bt = self.bn_train
+        f1, f2, f3, f4 = Encoder(cfg, dtype=dt, bn_train=bt,
+                                 name="encoder")(x_in)
         b4 = BottleneckGate(cfg.enc_channels[3], bn_eps=eps, dtype=dt,
-                            name="bottleneck")(f4)
+                            bn_train=bt, name="bottleneck")(f4)
 
         h3 = h2 = h1 = None
         if state is not None:
             h3, h2, h1 = state.h3, state.h2, state.h1
 
-        x, n3 = DecoderStage(d[0], rec, eps, dt, name="d3")(b4, f3, h3)
-        x, n2 = DecoderStage(d[1], rec, eps, dt, name="d2")(x, f2, h2)
-        x, n1 = DecoderStage(d[2], rec, eps, dt, name="d1")(x, f1, h1)
+        x, n3 = DecoderStage(d[0], rec, eps, dt, bt, name="d3")(b4, f3, h3)
+        x, n2 = DecoderStage(d[1], rec, eps, dt, bt, name="d2")(x, f2, h2)
+        x, n1 = DecoderStage(d[2], rec, eps, dt, bt, name="d1")(x, f1, h1)
 
         # Full-res stage: upsample + condition on the raw frame (no GRU at
         # full res — state stays small). With space_to_depth the stage runs
@@ -181,7 +192,8 @@ class MattingNetwork(nn.Module):
         x = upsample2x(x)
         cond = space_to_depth(frame, s2d) if s2d > 1 else rgb.astype(x.dtype)
         x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
-        x = ConvBNAct(d[3], bn_eps=eps, dtype=dt, name="d0")(x)
+        x = ConvBNAct(d[3], bn_eps=eps, dtype=dt, bn_train=bt,
+                      name="d0")(x)
 
         out = nn.Conv(4 * s2d * s2d, (3, 3), padding=((1, 1), (1, 1)),
                       dtype=dt, name="head")(x)

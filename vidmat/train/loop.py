@@ -53,30 +53,38 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
       gt_alpha: (T, N, H, W, 1)
       gt_fgr:   (T, N, H, W, 3)
     """
-    net = MattingNetwork(cfg)
+    # bn_train=True: BatchNorm normalizes with batch statistics and updates
+    # the running stats (carried through the temporal scan and stored back
+    # into TrainState). Training with frozen init stats leaves the stack
+    # unnormalized and stalls optimization (see STATUS.md round-1 notes).
+    net = MattingNetwork(cfg, bn_train=True)
     optimizer = optimizer or make_optimizer()
 
     def forward_clip(params, batch_stats, clips):
-        variables = {"params": params, "batch_stats": batch_stats}
         t, n, h, w, _ = clips.shape
         state0 = init_state(cfg, n, h, w, clips.dtype)
 
-        def frame_step(state, x):
-            alpha, fgr, new_state = net.apply(variables, x, state)
-            return new_state, (alpha, fgr)
+        def frame_step(carry, x):
+            state, stats = carry
+            (alpha, fgr, new_state), mut = net.apply(
+                {"params": params, "batch_stats": stats}, x, state,
+                mutable=["batch_stats"])
+            return (new_state, mut["batch_stats"]), (alpha, fgr)
 
         if remat:
             frame_step = jax.checkpoint(frame_step)
-        _, (alphas, fgrs) = jax.lax.scan(frame_step, state0, clips)
-        return alphas, fgrs
+        (_, new_stats), (alphas, fgrs) = jax.lax.scan(
+            frame_step, (state0, batch_stats), clips)
+        return alphas, fgrs, new_stats
 
     def loss_fn(params, batch_stats, clips, gt_alpha, gt_fgr):
-        alphas, fgrs = forward_clip(params, batch_stats, clips)
+        alphas, fgrs, new_stats = forward_clip(params, batch_stats, clips)
         loss, terms = matting_loss(alphas, fgrs, gt_alpha, gt_fgr, clips)
-        return loss, terms
+        return loss, (terms, new_stats)
 
     def train_step(state: TrainState, clips, gt_alpha, gt_fgr):
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
             state.variables["params"], state.variables["batch_stats"],
             clips, gt_alpha, gt_fgr)
         updates, opt_state = optimizer.update(
@@ -84,7 +92,7 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
         params = optax.apply_updates(state.variables["params"], updates)
         new_state = TrainState(
             variables={"params": params,
-                       "batch_stats": state.variables["batch_stats"]},
+                       "batch_stats": jax.lax.stop_gradient(new_stats)},
             opt_state=opt_state, step=state.step + 1)
         metrics = {"loss": loss, **terms}
         return new_state, metrics
