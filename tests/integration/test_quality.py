@@ -110,3 +110,24 @@ def test_errormap_refiner_checkpoint_improves_upsample():
     plain = np.asarray(resize_bilinear(alpha_lr, 128, 128))
     refined, _ = refiner.apply(params, rgb, rgb_lr, alpha_lr)
     assert mad(np.asarray(refined), gt[None]) < mad(plain, gt[None])
+
+
+def test_fast_s2d_checkpoint_quality():
+    """The serving-optimized s2d=2 variant's trained checkpoint (BN-fix
+    recipe) must matte held-out clips; see STATUS.md for the recipe gap
+    vs the base variant."""
+    ckpt = os.path.join(os.path.dirname(CKPT), "fast_demo")
+    if not os.path.isdir(ckpt):
+        pytest.skip("fast checkpoint not present")
+    from vidmat.api import MattingSession
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.utils.metrics import mad
+
+    cfg = ModelConfig(space_to_depth=2)
+    v = load_checkpoint(ckpt, template=init_params(cfg, height=64, width=64))
+    sess = MattingSession(160, 160, variables=v, model_cfg=cfg)
+    mads = [mad(sess.step(f)[0], gt)
+            for f, gt in synthetic_clip(160, 160, 6, seed=987654)]
+    assert np.mean(mads) < 0.05, np.mean(mads)
