@@ -168,7 +168,7 @@ def main() -> None:
     # overhead of the tunnel, which has high variance; median of 3 repeats.
     n_short, n_long = frames_timed // 6, frames_timed
     per_frame = []
-    for _ in range(3):
+    for _ in range(5):  # tunnel latency varies run-to-run; median of 5
         t_short = run_chain(n_short)
         t_long = run_chain(n_long)
         per_frame.append((t_long - t_short) / (n_long - n_short))
