@@ -98,8 +98,12 @@ PyObject* pad_stack(PyObject*, PyObject* args) {
       return nullptr;
     }
     Py_buffer& b = bufs[i];
-    if (b.ndim != 3 || b.shape[2] != 3 || b.itemsize != 1) {
-      PyErr_SetString(PyExc_ValueError, "frames must be (H, W, 3) uint8");
+    // h/w > 0: pad_one's edge extension reads row copy_h-1 / col copy_w-1,
+    // which underflows for degenerate frames.
+    if (b.ndim != 3 || b.shape[2] != 3 || b.itemsize != 1 ||
+        b.shape[0] <= 0 || b.shape[1] <= 0) {
+      PyErr_SetString(PyExc_ValueError,
+                      "frames must be (H, W, 3) uint8 with H, W > 0");
       for (Py_ssize_t j = 0; j <= i; ++j) PyBuffer_Release(&bufs[j]);
       Py_DECREF(fast);
       return nullptr;

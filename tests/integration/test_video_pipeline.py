@@ -111,3 +111,67 @@ def test_convert_video_chunked_matches_per_frame():
     assert len(outs[1]) == len(outs[3]) == 7
     for a, b in zip(outs[1], outs[3]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pipe_cfg_downsample_ratio_is_honored(monkeypatch):
+    """PipelineConfig.downsample_ratio must drive the coarse pass when no
+    explicit constructor ratio is given (ADVICE r1: presets silently used
+    the auto heuristic)."""
+    import vidmat.pipeline.video as vp
+
+    def boom(h, w):
+        raise AssertionError("auto ratio used despite configured ratio")
+
+    monkeypatch.setattr(vp, "auto_downsample_ratio", boom)
+    frames = list(synthetic_frames_only(128, 160, 3))
+    pipe = PipelineConfig(downsample_ratio=0.5)
+    m = vidmat.convert_video(frames, pipe_cfg=pipe)
+    assert m["frames"] == 3
+
+
+def test_errormap_without_weights_loads_trained_or_raises(monkeypatch):
+    """refine.mode='errormap' must never run with random refiner weights
+    (ADVICE r1): auto-load the shipped checkpoint, raise if absent."""
+    import os
+
+    import vidmat.pipeline.video as vp
+
+    pipe = PipelineConfig(refine=RefineConfig(mode="errormap",
+                                              errormap_patches=8,
+                                              errormap_patch_size=16))
+    frames = list(synthetic_frames_only(128, 192, 2))
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(vp.__file__))))
+    ckpt = os.path.join(repo, "checkpoints", "errormap_demo")
+    if os.path.isdir(ckpt):
+        # Auto-load path: the pipeline's refiner vars must come from the
+        # shipped checkpoint, not PRNG init.
+        p = vp.VideoPipeline(pipe_cfg=pipe, downsample_ratio=0.5)
+        p.run(frames)
+        from vidmat.models.weights import load_checkpoint
+
+        from vidmat.refine.errormap import ErrorMapRefiner
+        import jax.numpy as jnp
+        import jax.random as jrandom
+
+        ref = ErrorMapRefiner(num_patches=8, patch_size=16)
+        tmpl = ref.init(jrandom.PRNGKey(0),
+                        jnp.zeros((1, 128, 192, 3), jnp.float32),
+                        jnp.zeros((1, 64, 96, 3), jnp.float32),
+                        jnp.zeros((1, 64, 96, 1), jnp.float32))
+        want = load_checkpoint(ckpt, template=tmpl)
+        import jax
+
+        leaves_got = jax.tree_util.tree_leaves(p._refiner_vars)
+        leaves_want = jax.tree_util.tree_leaves(want)
+        assert all(np.allclose(a, b)
+                   for a, b in zip(leaves_got, leaves_want))
+    # Raise path: with the checkpoint "absent" the pipeline must refuse.
+    real_isdir = os.path.isdir
+    monkeypatch.setattr(
+        "os.path.isdir",
+        lambda path: False if "errormap_demo" in str(path)
+        else real_isdir(path))
+    p2 = vp.VideoPipeline(pipe_cfg=pipe, downsample_ratio=0.5)
+    with pytest.raises(ValueError, match="errormap"):
+        p2.run(list(synthetic_frames_only(128, 192, 1)))

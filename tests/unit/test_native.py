@@ -50,3 +50,12 @@ def test_pad_stack_rejects_bad_shape():
         pytest.skip("native-only error path")
     with pytest.raises(ValueError):
         pad_stack([np.zeros((4, 4), np.uint8)], 8, 8)
+
+
+def test_pad_stack_rejects_degenerate_frames():
+    """h==0 or w==0 would underflow pad_one's edge extension (ADVICE r1)."""
+    if not have_native():
+        pytest.skip("native-only error path")
+    for shape in [(0, 4, 3), (4, 0, 3)]:
+        with pytest.raises(ValueError):
+            pad_stack([np.zeros(shape, np.uint8)], 8, 8)

@@ -157,9 +157,15 @@ def main(argv=None) -> int:
                                             f"alpha_{i:02d}.mp4"),
                                readers[i].fps)
                    for i in range(len(readers))]
+        # Crop each stream to its OWN frame size (inputs smaller than the
+        # canonical bucket would otherwise get edge-extension padding baked
+        # into the written alpha; ADVICE round 1).
+        crops = [(min(r.height, args.height), min(r.width, args.width))
+                 for r in readers]
 
         def on_output(i, n, alpha, out):
-            writers[i].write(alpha[:args.height, :args.width])
+            ch, cw = crops[i]
+            writers[i].write(alpha[:ch, :cw])
 
         summary = ms.serve([padded(r) for r in readers],
                            on_output=on_output)

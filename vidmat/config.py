@@ -61,7 +61,9 @@ class PipelineConfig:
 
     # Coarse-pass scale: network runs at round(H*r) x round(W*r); refinement
     # restores full res (BASELINE.json:10 "downsample-ratio coarse pass").
-    downsample_ratio: float = 1.0
+    # None = auto from resolution (pipeline.video.auto_downsample_ratio);
+    # 1.0 = explicitly full-res.
+    downsample_ratio: Optional[float] = None
     # Frames per jitted scan chunk (amortizes dispatch, keeps state on-device).
     chunk_size: int = 1
     # Compute dtype for the conv path. Parity mode forces float32.

@@ -43,6 +43,35 @@ def auto_downsample_ratio(h: int, w: int) -> float:
     return max(0.125, 512.0 / short)
 
 
+def _load_default_refiner(refiner, h: int, w: int, net_h: int, net_w: int):
+    """Load the shipped trained error-map refiner weights, or raise.
+
+    Conv params are resolution-independent, so a fixed-shape template init
+    is enough to shape the checkpoint restore.
+    """
+    import os
+
+    import jax.random as jrandom
+
+    from vidmat.models.weights import load_checkpoint
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "checkpoints", "errormap_demo")
+    template = refiner.init(
+        jrandom.PRNGKey(0),
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        jnp.zeros((1, net_h, net_w, 3), jnp.float32),
+        jnp.zeros((1, net_h, net_w, 1), jnp.float32))
+    if not os.path.isdir(ckpt):
+        raise ValueError(
+            "refine.mode='errormap' needs trained refiner weights: pass "
+            "refiner_variables=... (the default checkpoint "
+            f"{ckpt} is not present). Random-weight refinement would "
+            "silently degrade the alpha, so it is refused.")
+    return load_checkpoint(ckpt, template=template)
+
+
 class VideoPipeline:
     """End-to-end video matting (BASELINE.json:8-10 rungs)."""
 
@@ -90,14 +119,13 @@ class VideoPipeline:
         net = self.net
         refiner = None
         if self._refiner is not None and (net_h, net_w) != (h, w):
-            import jax.random as jrandom
-
             if self._refiner_vars is None:
-                self._refiner_vars = self._refiner.init(
-                    jrandom.PRNGKey(0),
-                    jnp.zeros((1, h, w, 3), jnp.float32),
-                    jnp.zeros((1, net_h, net_w, 3), jnp.float32),
-                    jnp.zeros((1, net_h, net_w, 1), jnp.float32))
+                # Never run errormap refinement with random weights: the
+                # patch residuals would silently DEGRADE the alpha (ADVICE
+                # round 1). Auto-load the shipped trained refiner, or fail
+                # loudly so the caller passes refiner_variables.
+                self._refiner_vars = _load_default_refiner(
+                    self._refiner, h, w, net_h, net_w)
             refiner = (self._refiner, self._refiner_vars)
 
         # Pallas serving path (auto on TPU): fused area-pool ingest when the
@@ -241,8 +269,13 @@ class VideoPipeline:
         for frame in source:
             if step is None:
                 fh, fw = frame.shape[:2]
-                ratio = (self.downsample_ratio if self.downsample_ratio
-                         is not None else auto_downsample_ratio(fh, fw))
+                # Ratio resolution order: explicit constructor arg >
+                # PipelineConfig.downsample_ratio > auto heuristic.
+                ratio = self.downsample_ratio
+                if ratio is None:
+                    ratio = self.pipe_cfg.downsample_ratio
+                if ratio is None:
+                    ratio = auto_downsample_ratio(fh, fw)
                 ph, pw = fh + ((-fh) % 16), fw + ((-fw) % 16)
                 step, chunk_step, (state_h, state_w) = self._build_step(
                     ph, pw, ratio, need_fgr=bool(output_foreground))
