@@ -7,15 +7,23 @@ pinned rebuild target of 200 fps/chip (BASELINE.json:5).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+The line also carries fps_min/fps_max across the timing repeats so the
+number is self-describing about run-to-run spread (VERDICT r1 item 10).
 
-The measured pipeline is the real serving step (BASELINE.json:9 rung):
-uint8 1080p frame H2D -> on-device ingest (normalize + coarse resize) ->
-recurrent net (bf16) -> guided-filter refine to full res -> composite ->
-alpha u8 D2H. Temporal state stays in HBM across frames.
+Modes (--mode=...):
+  1080p (default), 4k, multistream, 480p — device-resident frame ring,
+    measures chip throughput with the real serving step (ingest -> recurrent
+    net -> guided refine -> composite; the shared body from
+    vidmat.pipeline.stepfactory, identical to what convert_video jits).
+  e2e — host-fed convert_video: decode thread + H2D + device step + D2H +
+    encode all included (VERDICT r1 item 4). On the dev axon tunnel the H2D
+    relay costs ~125 ms/frame that no real deployment sees; that cost is
+    measured and reported separately (h2d_ms_per_frame) so the chip-side
+    number stays honest.
 """
 
+import argparse
 import json
-import sys
 import time
 
 import numpy as np
@@ -41,28 +49,81 @@ def _watchdog(seconds: float = 900.0) -> None:
     t.start()
 
 
+TARGET_FPS = 200.0  # BASELINE.json:5 rebuild target; no published ref #s
+
+
+def _bench_e2e(jax, quick: bool) -> dict:
+    """Host-fed end-to-end: the full pipeline with H2D, per-frame D2H and
+    real mp4 encode included (the >200 fps target is about the pipeline,
+    not a device-resident ring)."""
+    import tempfile
+
+    from vidmat.config import ModelConfig, PipelineConfig
+    from vidmat.io.fixtures import synthetic_frames_only
+    from vidmat.pipeline.video import VideoPipeline
+
+    h, w, n = (288, 512, 40) if quick else (1080, 1920, 120)
+    frames = list(synthetic_frames_only(h, w, n))
+    cfg = ModelConfig(space_to_depth=2)
+    pipe = PipelineConfig(downsample_ratio=0.25)
+    pipeline = VideoPipeline(model_cfg=cfg, pipe_cfg=pipe)
+    # Warm run compiles the step; the timed run reuses it via the pipeline
+    # step cache, so wall-clock below is steady-state only.
+    pipeline.run(frames[:3])
+    out_path = tempfile.mktemp(suffix=".mp4")
+    t0 = time.perf_counter()
+    m = pipeline.run(frames, output_alpha=out_path)
+    wall = time.perf_counter() - t0
+    # Isolate the raw H2D relay cost (tunnel artifact on the dev setup):
+    # time device_put of one frame, median of 5.
+    buf = frames[0][None]
+    h2d = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        x = jax.device_put(buf)
+        np.asarray(x[0, 0, 0])  # force completion (block_until_ready is
+        # unreliable over the tunnel; docs/PERFORMANCE.md)
+        h2d.append(time.perf_counter() - t1)
+    fps = n / wall
+    return {
+        "metric": "e2e host-fed 1080p pipeline throughput "
+                  "(decode+H2D+matting+D2H+encode)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+        "p50_ms": round(m.get("p50_ms", 1e3 * wall / n), 2),
+        "h2d_ms_per_frame": round(1e3 * float(np.median(h2d)), 1),
+        "device": str(jax.devices()[0]),
+        "resolution": f"{w}x{h}",
+        "frames": n,
+    }
+
+
 def main() -> None:
     _watchdog()
-    quick = "--quick" in sys.argv
-    mode = "1080p"
-    for m in ("4k", "multistream", "480p"):
-        if f"--mode={m}" in sys.argv or (f"--mode" in sys.argv and m in sys.argv):
-            mode = m
-    if quick:
-        mode = "quick"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--mode", default="1080p",
+                    choices=["1080p", "4k", "multistream", "480p", "e2e"])
+    args, _ = ap.parse_known_args()
+    mode = "quick" if args.quick and args.mode != "e2e" else args.mode
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       __file__.rsplit("/", 1)[0] + "/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if mode == "e2e":
+        print(json.dumps(_bench_e2e(jax, args.quick)))
+        return
+
     import jax.numpy as jnp
 
     from vidmat.config import ModelConfig, RefineConfig
     from vidmat.models.matting_net import MattingNetwork, init_state
     from vidmat.models.weights import init_params
-    from vidmat.ops.composite import composite_rgba
-    from vidmat.ops.guided_filter import guided_upsample
-    from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+    from vidmat.pipeline.stepfactory import build_serving_body
 
     # One rung per BASELINE.json:6-12 config (--mode=4k/multistream/480p).
     batch = 1
@@ -86,70 +147,26 @@ def main() -> None:
     cdtype = jnp.bfloat16
     net = MattingNetwork(cfg, dtype=cdtype)  # true bf16 conv path
     variables = init_params(cfg)
-    net_h, net_w = downsample_ratio_shape(h, w, ratio)
-    mult = 16 * cfg.space_to_depth
-    pad_h = -net_h % mult
-    pad_w = -net_w % mult
-    refine = RefineConfig()
 
-    # Integer pool factor => the fused Pallas ingest kernel (area
-    # downsample) applies; otherwise fall back to bilinear resize.
-    pool = h // net_h if (h % net_h == 0 and w % net_w == 0
-                          and h // net_h == w // net_w) else 0
-    use_pallas = jax.default_backend() == "tpu"
-
-    from vidmat.ops.pallas import (composite_rgba_packed,
-                                   ingest_pool_normalize)
-
-    from vidmat.ops.guided_filter import gray_guide
-    from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
-    from vidmat.ops.pallas.refine_kernel import fused_refine_composite
-
-    @jax.jit
-    def step(variables, frame_u8, state):
-        if use_pallas and pool:
-            x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype)
-        else:
-            frame32 = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
-            x = resize_bilinear(frame32.astype(cdtype), net_h, net_w)
-        # pad the coarse grid to the s2d multiple; crop outputs back
-        xp = (jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-                      mode="edge") if (pad_h or pad_w) else x)
-        alpha, fgr, new_state = net.apply(variables, xp, state)
-        alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
-        fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
-        if use_pallas and pool > 1:
-            # fully fused tail: GF stats at coarse res + one-pass upsample/
-            # apply/composite/pack kernel (BASELINE.json:5 north star)
-            p = jnp.concatenate([alpha, fgr], axis=-1)
-            ma, mb = guided_filter_coeffs(
-                gray_guide(x.astype(jnp.float32)), p,
-                radius=refine.guided_radius, eps=refine.guided_eps)
-            packed = fused_refine_composite(frame_u8, ma, mb, None,
-                                            pool=pool)
-            return packed, packed, new_state
-        frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
-        alpha, fgr = guided_upsample(frame, alpha, fgr,
-                                     refine.guided_radius, refine.guided_eps,
-                                     impl="pallas" if use_pallas else "xla")
-        if use_pallas:
-            packed = composite_rgba_packed(fgr, alpha, None)
-            return packed, packed, new_state
-        rgba = composite_rgba(fgr, alpha, None)
-        alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
-        return alpha_u8, rgba, new_state
+    # Shared serving body — the SAME code convert_video jits (stepfactory).
+    # refine_at_full keeps the 480p full-res rung running an edge-aware
+    # guided pass (its historical workload) instead of skipping refinement.
+    body, plan = build_serving_body(
+        net, cfg, RefineConfig(), h, w, ratio, cdtype=cdtype, bg=None,
+        refine_at_full=True)
+    step = jax.jit(body)
 
     # Device-resident frame ring: measures chip throughput (fps/chip). In
     # production, decode + H2D run on host threads and overlap with device
     # compute (vidmat.pipeline.video double-buffers them); here, over the
     # axon loopback tunnel, per-frame H2D costs ~125ms of pure relay
     # latency that no real deployment would see, so it is excluded from the
-    # chip-throughput metric.
+    # chip-throughput metric (measured separately by --mode=e2e).
     rng = np.random.RandomState(0)
     ring = [jax.device_put(rng.randint(0, 255, (batch, h, w, 3), np.uint8))
             for _ in range(4)]
 
-    state0 = init_state(cfg, batch, net_h + pad_h, net_w + pad_w, cdtype)
+    state0 = init_state(cfg, batch, plan.state_h, plan.state_w, cdtype)
 
     def run_chain(n_frames: int) -> float:
         """Time n_frames chained steps; one D2H sync at the end (the output
@@ -158,14 +175,16 @@ def main() -> None:
         out = None
         t0 = time.perf_counter()
         for i in range(n_frames):
-            out, _, state = step(variables, ring[i % 4], state)
+            outs, state = step(variables, ring[i % 4], state)
+            out = outs if not isinstance(outs, tuple) else outs[0]
         np.asarray(out)
         jax.block_until_ready(state)
         return time.perf_counter() - t0
 
     run_chain(5)  # compile + tunnel warmup
     # Amortized timing: (T_long - T_short) removes the fixed sync/dispatch
-    # overhead of the tunnel, which has high variance; median of 3 repeats.
+    # overhead of the tunnel, which has high variance; median of 5 repeats,
+    # min/max reported so the spread is visible in the JSON itself.
     n_short, n_long = frames_timed // 6, frames_timed
     per_frame = []
     for _ in range(5):  # tunnel latency varies run-to-run; median of 5
@@ -176,7 +195,6 @@ def main() -> None:
     fps = batch / spf
     p50_ms = spf * 1e3
     device = str(jax.devices()[0])
-    target_fps = 200.0  # BASELINE.json:5 rebuild target; no published ref #s
     label = {"quick": "480p-quick", "4k": "4K tiled-coarse",
              "480p": "480p", "multistream": "8-stream 1080p",
              "1080p": "1080p"}[mode]
@@ -184,8 +202,10 @@ def main() -> None:
         "metric": f"{label} recurrent matting throughput (frames/sec/chip)",
         "value": round(fps, 2),
         "unit": "fps/chip",
-        "vs_baseline": round(fps / target_fps, 3),
+        "vs_baseline": round(fps / TARGET_FPS, 3),
         "p50_ms": round(p50_ms, 2),
+        "fps_min": round(batch / max(per_frame), 2),
+        "fps_max": round(batch / min(per_frame), 2),
         "device": device,
         "resolution": f"{w}x{h}" + (f" x{batch} streams" if batch > 1 else ""),
         "downsample_ratio": ratio,

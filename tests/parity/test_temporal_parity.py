@@ -18,10 +18,14 @@ from vidmat.pipeline.scan import make_chunk_step
 from vidmat.utils.metrics import mad
 
 TOL = 1e-3
-H, W, FRAMES = 96, 112, 24  # small spatial, enough frames to surface drift
+# The pinned ladder rung is 100 frames @ 480p (BASELINE.json:8); spatial
+# size is reduced to ~480p/4 (128x224, /16-aligned) for CI budget — drift
+# is a function of the recurrent chain LENGTH, which runs at full 100
+# frames.
+H, W, FRAMES = 128, 224, 100
 
 
-def test_temporal_parity_per_frame():
+def test_temporal_parity_per_frame_100():
     cfg = ModelConfig()
     variables = randomize_bn_stats(init_params(cfg, seed=0), seed=1)
     oracle = TorchMattingNetwork(cfg)
@@ -30,14 +34,14 @@ def test_temporal_parity_per_frame():
 
     frames = [f for f, _ in synthetic_clip(H, W, FRAMES, seed=3)]
 
-    # JAX loop (chunked scan, chunk=6 to also exercise chunk boundaries).
+    # JAX loop (chunked scan, chunk=10 to also exercise chunk boundaries).
     chunk_step = jax.jit(make_chunk_step(net))
     state = init_state(cfg, 1, H, W)
     j_alphas = []
     with jax.default_matmul_precision("float32"):
-        for s in range(0, FRAMES, 6):
+        for s in range(0, FRAMES, 10):
             batch = np.stack([f.astype(np.float32) / 255.0
-                              for f in frames[s:s + 6]])[:, None]
+                              for f in frames[s:s + 10]])[:, None]
             alphas, fgrs, state = chunk_step(variables, jnp.asarray(batch),
                                              state)
             j_alphas.extend(np.asarray(alphas)[:, 0])
@@ -48,14 +52,17 @@ def test_temporal_parity_per_frame():
     for f in frames:
         x = torch.from_numpy(f.astype(np.float32) / 255.0
                              ).permute(2, 0, 1)[None]
-        a, _, t_state = oracle(x, t_state)
+        with torch.no_grad():
+            a, _, t_state = oracle(x, t_state)
         t_alphas.append(a[0].permute(1, 2, 0).numpy())
 
     per_frame = [mad(j, t) for j, t in zip(j_alphas, t_alphas)]
-    assert max(per_frame) <= TOL, (
-        f"max per-frame alpha MAD {max(per_frame):.2e} at "
-        f"frame {int(np.argmax(per_frame))}; first/last "
-        f"{per_frame[0]:.2e}/{per_frame[-1]:.2e}")
+    if max(per_frame) > TOL:
+        curve = " ".join(f"{v:.1e}" for v in per_frame)
+        raise AssertionError(
+            f"max per-frame alpha MAD {max(per_frame):.2e} at frame "
+            f"{int(np.argmax(per_frame))} (tol {TOL:.0e}); drift curve:\n"
+            f"{curve}")
 
 
 def test_state_reset_isolation():

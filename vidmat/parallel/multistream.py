@@ -27,9 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vidmat.config import ModelConfig, RefineConfig
 from vidmat.models.matting_net import MattingNetwork, init_state
 from vidmat.models.weights import init_params
-from vidmat.ops.composite import composite_rgba
-from vidmat.ops.guided_filter import guided_upsample
-from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+from vidmat.pipeline.stepfactory import build_serving_body
 
 
 class MultiStreamMatting:
@@ -55,74 +53,37 @@ class MultiStreamMatting:
         cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.cdtype = cdtype
 
-        if downsample_ratio < 1.0:
-            net_h, net_w = downsample_ratio_shape(height, width,
-                                                  downsample_ratio)
-        else:
-            net_h, net_w = height, width
-        self.net_h, self.net_w = net_h, net_w
-        full = (net_h, net_w) == (height, width)
         net = MattingNetwork(cfg, dtype=cdtype if dtype == "bfloat16"
                              else None)
         bg = jnp.asarray(bg_color, jnp.float32) if bg_color is not None else None
-        mult = 16 * cfg.space_to_depth
-        pad_nh, pad_nw = -net_h % mult, -net_w % mult
-        self._state_hw = (net_h + pad_nh, net_w + pad_nw)
-        use_pallas = jax.default_backend() == "tpu"
+
+        # Shared serving body (vidmat.pipeline.stepfactory) — one
+        # implementation with pipeline/video.py and bench.py. Pallas calls
+        # are not GSPMD-partitionable, so the fused kernels apply only on
+        # the single-chip batched path (mesh=None); under a sharded mesh
+        # the body uses the XLA ops GSPMD can split.
+        use_pallas = (jax.default_backend() == "tpu") and mesh is None
+        # bg None keeps the raw-foreground output contract (the packed word
+        # carries composited RGB), so it forces the u8-tuple path.
+        body, plan = build_serving_body(
+            net, cfg, refine, height, width, downsample_ratio,
+            cdtype=cdtype, bg=bg, use_pallas=use_pallas,
+            need_fgr=bg is None)
+        self.net_h, self.net_w = plan.net_h, plan.net_w
+        self._state_hw = (plan.state_h, plan.state_w)
+        self._packed = plan.packed
 
         def step(variables, frames_u8, state, reset_mask):
             # masked per-stream state reset (scene cut / stream restart)
             keep = (1.0 - reset_mask.astype(cdtype)).reshape(-1, 1, 1, 1)
             state = jax.tree_util.tree_map(lambda h: h * keep, state)
-
-            frames = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
-            x = frames.astype(cdtype)
-            if not full:
-                x = resize_bilinear(x, net_h, net_w)
-            x = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
-                         mode="edge") if (pad_nh or pad_nw) else x)
-            alpha, fgr, new_state = net.apply(variables, x, state)
-            alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
-            fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
-            pool = (height // net_h
-                    if (not full and height % net_h == 0
-                        and width % net_w == 0
-                        and height // net_h == width // net_w) else 0)
-            if (use_pallas and pool > 1 and refine.mode == "guided"
-                    and bg is not None):
-                # fully fused tail (see pipeline/video.py): emits packed
-                # RGBA; alpha is the high byte.
-                from vidmat.ops.guided_filter import gray_guide
-                from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
-                from vidmat.ops.pallas.refine_kernel import (
-                    fused_refine_composite)
-
-                x32 = (x[:, :net_h, :net_w] if (pad_nh or pad_nw)
-                       else x).astype(jnp.float32)
-                p = jnp.concatenate([alpha, fgr], axis=-1)
-                ma, mb = guided_filter_coeffs(gray_guide(x32), p,
-                                              radius=refine.guided_radius,
-                                              eps=refine.guided_eps)
-                packed = fused_refine_composite(frames_u8, ma, mb, bg,
-                                                pool=pool)
-                alpha_u8 = (packed >> 24).astype(jnp.uint8)
-                rgba_u8 = jnp.stack(
-                    [((packed >> (8 * c)) & 0xFF).astype(jnp.uint8)
-                     for c in range(4)], axis=-1)
-                return alpha_u8[..., None], rgba_u8, new_state
-            if not full:
-                if refine.mode == "guided":
-                    alpha, fgr = guided_upsample(frames, alpha, fgr,
-                                                 refine.guided_radius,
-                                                 refine.guided_eps)
-                else:
-                    alpha = resize_bilinear(alpha, height, width)
-                    fgr = resize_bilinear(fgr, height, width)
-            alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
-            if bg is not None:
-                out = composite_rgba(fgr, alpha, bg)
-            else:
-                out = jnp.round(fgr * 255.0).astype(jnp.uint8)
+            outs, new_state = body(variables, frames_u8, state)
+            if plan.packed:
+                # alpha rides the high byte; host unpacks the single packed
+                # D2H (io.native.unpack_rgba) — keep it packed on-device.
+                return outs, outs, new_state
+            alpha_u8, fgr_u8, rgba = outs
+            out = rgba if bg is not None else fgr_u8
             return alpha_u8, out, new_state
 
         if mesh is not None:
@@ -152,6 +113,12 @@ class MultiStreamMatting:
             f = jax.device_put(f, self._sharding)
         alpha_u8, out_u8, self.state = self._step(
             self.variables, f, self.state, jnp.asarray(reset_mask))
+        if self._packed:
+            # One packed-RGBA D2H for the whole batch; zero-copy host split.
+            from vidmat.ops.pallas.composite_kernel import unpack_rgba_host
+
+            rgba = unpack_rgba_host(np.asarray(out_u8))
+            return rgba[..., 3:4], rgba
         return np.asarray(alpha_u8), np.asarray(out_u8)
 
     def step_device(self, frames_u8, reset_mask):

@@ -1,0 +1,171 @@
+"""Single source of truth for the serving step body.
+
+Round 1 grew three drifting near-copies of the same ~60-line serving body
+(``pipeline/video.py``, ``parallel/multistream.py``, ``bench.py``) — and the
+multistream copy silently lost the fused Pallas ingest win. This factory is
+the one implementation all three call sites build from (VERDICT round 1,
+item 5).
+
+The body maps one uint8 frame batch through the full serving chain:
+
+  ingest (fused Pallas area-pool+normalize on TPU, bilinear elsewhere)
+  -> recurrent matting net (bf16, space-to-depth aware padding)
+  -> refinement tail (fully fused Pallas refine+composite when the coarse
+     ratio is an integer pool; else guided / tiled / errormap / bilinear)
+  -> output packing (one uint32 RGBA word per pixel on the Pallas path, so
+     the host does a single D2H; else u8 tuple)
+
+All shapes are static per (h, w, ratio) bucket so the jitted step never
+retraces in steady state (SURVEY.md §7 "avoiding retraces").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidmat.config import ModelConfig, RefineConfig
+from vidmat.ops.composite import composite_rgba
+from vidmat.ops.guided_filter import guided_upsample
+from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingPlan:
+    """Static facts about a built serving body that call sites need."""
+
+    net_h: int          # coarse grid fed to the network (pre-s2d-padding)
+    net_w: int
+    state_h: int        # recurrent-state grid (coarse + s2d padding)
+    state_w: int
+    pool: int           # integer area-pool factor (0 = non-integer ratio)
+    packed: bool        # body returns (N,H,W) uint32 packed RGBA
+    full: bool          # network runs at full resolution (no coarse pass)
+
+
+def build_serving_body(
+    net,
+    model_cfg: ModelConfig,
+    refine: RefineConfig,
+    h: int,
+    w: int,
+    ratio: float,
+    *,
+    cdtype=jnp.bfloat16,
+    bg: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+    need_fgr: bool = False,
+    tile_size: Optional[int] = None,
+    tile_overlap: int = 64,
+    refiner: Optional[tuple] = None,
+    refine_at_full: bool = False,
+) -> Tuple[Callable, ServingPlan]:
+    """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
+
+    net:      a constructed MattingNetwork (its dtype decides the conv path).
+    bg:       (3,) float background, or None (premultiplied-alpha output).
+    use_pallas: None = auto (TPU backend only). Pallas calls are not GSPMD-
+              partitionable, so pass False when the body runs under a
+              sharded jit over a mesh.
+    need_fgr: caller needs RAW foreground; forces the u8-tuple output (the
+              packed word carries composited/premultiplied RGB).
+    refiner:  optional (ErrorMapRefiner, variables) for refine.mode
+              == 'errormap'.
+    refine_at_full: also run guided refinement when the net runs at full
+              resolution (edge-aware smoothing rather than upsampling).
+
+    Returns (body, plan) where
+      body(variables, frame_u8 (N,h,w,3) uint8, state) -> (outs, new_state)
+      outs = (N,h,w) uint32 packed RGBA   if plan.packed
+           | (alpha_u8 (N,h,w,1), fgr_u8 (N,h,w,3), rgba (N,h,w,4))
+    """
+    net_h, net_w = ((h, w) if ratio >= 1.0
+                    else downsample_ratio_shape(h, w, ratio))
+    full = (net_h, net_w) == (h, w)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    use_packed = use_pallas and not need_fgr
+    pool = (h // net_h if (not full and h % net_h == 0 and w % net_w == 0
+                           and h // net_h == w // net_w) else 0)
+    gf_impl = "pallas" if use_pallas else "xla"
+    # space_to_depth models need the coarse grid padded to 16*s2d.
+    mult = 16 * model_cfg.space_to_depth
+    pad_nh = -net_h % mult
+    pad_nw = -net_w % mult
+    # Fully fused tail (GF coeffs at coarse res + one-pass refine/composite
+    # kernel): packed pallas path with an integer pool, guided refinement,
+    # and no tiling.
+    use_fused = (use_packed and pool > 1 and refine.mode == "guided"
+                 and not tile_size)
+
+    def body(variables, frame_u8, state):
+        # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
+        frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
+        if use_pallas and pool:
+            from vidmat.ops.pallas import ingest_pool_normalize
+
+            x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype)
+        else:
+            x = frame.astype(cdtype)
+            if not full:
+                x = resize_bilinear(x, net_h, net_w)
+        xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
+                      mode="edge") if (pad_nh or pad_nw) else x)
+        alpha, fgr, new_state = net.apply(variables, xp, state)
+        alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
+        fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
+        if use_fused:
+            from vidmat.ops.guided_filter import gray_guide
+            from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
+            from vidmat.ops.pallas.refine_kernel import fused_refine_composite
+
+            p = jnp.concatenate([alpha, fgr], axis=-1)
+            ma, mb = guided_filter_coeffs(
+                gray_guide(x.astype(jnp.float32)), p,
+                radius=refine.guided_radius, eps=refine.guided_eps)
+            packed = fused_refine_composite(frame_u8, ma, mb, bg, pool=pool)
+            return packed, new_state
+        if not full:
+            if refine.mode == "guided" and tile_size and pool:
+                # Tiled/patch full-res refine with overlap blending
+                # (BASELINE.json:10) — bounds full-res intermediates at
+                # very large resolutions.
+                from vidmat.refine.tiling import tiled_guided_upsample
+
+                alpha, fgr = tiled_guided_upsample(
+                    frame, alpha, fgr, tile_size, tile_overlap,
+                    refine.guided_radius, refine.guided_eps, impl=gf_impl)
+            elif refine.mode == "guided":
+                alpha, fgr = guided_upsample(
+                    frame, alpha, fgr, refine.guided_radius,
+                    refine.guided_eps, impl=gf_impl)
+            elif refine.mode == "errormap" and refiner is not None:
+                x32 = x.astype(jnp.float32)
+                alpha, _err = refiner[0].apply(refiner[1], frame, x32, alpha)
+                fgr = resize_bilinear(fgr, h, w)
+            else:
+                alpha = resize_bilinear(alpha, h, w)
+                fgr = resize_bilinear(fgr, h, w)
+        elif refine_at_full and refine.mode == "guided":
+            alpha, fgr = guided_upsample(
+                frame, alpha, fgr, refine.guided_radius, refine.guided_eps,
+                impl=gf_impl)
+        if use_packed:
+            from vidmat.ops.pallas import composite_rgba_packed
+
+            # alpha rides the high byte of the packed words; composited RGB
+            # is the low 24 bits — writers unpack the single packed D2H.
+            packed = composite_rgba_packed(fgr, alpha, bg)
+            return packed, new_state
+        rgba = composite_rgba(fgr, alpha, bg)
+        alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
+        fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
+        return (alpha_u8, fgr_u8, rgba), new_state
+
+    plan = ServingPlan(net_h=net_h, net_w=net_w, state_h=net_h + pad_nh,
+                       state_w=net_w + pad_nw, pool=pool,
+                       packed=use_packed, full=full)
+    return body, plan

@@ -26,9 +26,7 @@ import numpy as np
 from vidmat.config import ModelConfig, PipelineConfig
 from vidmat.models.matting_net import MattingNetwork, init_state
 from vidmat.models.weights import init_params
-from vidmat.ops.composite import composite_rgba
-from vidmat.ops.guided_filter import guided_upsample
-from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+from vidmat.ops.resize import downsample_ratio_shape
 from vidmat.io.reader import FrameSource
 from vidmat.io.writer import VideoWriter
 from vidmat.utils.metrics import RunMetrics
@@ -86,6 +84,7 @@ class VideoPipeline:
                           else init_params(model_cfg))
         self.downsample_ratio = downsample_ratio
         self.bg_color = bg_color
+        self._step_cache = {}
         cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
                   else None)
         self.net = MattingNetwork(model_cfg, dtype=cdtype)
@@ -102,21 +101,31 @@ class VideoPipeline:
                     need_fgr: bool = False):
         """One jitted device step for a (h, w) stream at a coarse ratio.
 
-        Also returns a jitted chunk step (lax.scan of the same body over K
-        stacked frames) when pipe_cfg.chunk_size > 1 — the dispatch-
-        amortizing path for offline conversion on directly-attached TPUs
-        (on the dev tunnel per-frame dispatch measured faster; see
-        docs/PERFORMANCE.md).
+        The body comes from the shared serving-step factory
+        (vidmat.pipeline.stepfactory — one implementation for the pipeline,
+        the multistream batcher, and bench.py). Also returns a jitted chunk
+        step (lax.scan of the same body over K stacked frames) when
+        pipe_cfg.chunk_size > 1 — the dispatch-amortizing path for offline
+        conversion on directly-attached TPUs (on the dev tunnel per-frame
+        dispatch measured faster; see docs/PERFORMANCE.md).
+
+        Compiled steps are cached on the pipeline instance keyed by
+        (h, w, ratio, need_fgr), so repeated run() calls on the same shape
+        bucket pay zero retraces (VERDICT round 1, item 8).
         """
+        key = (h, w, ratio, need_fgr)
+        cached = self._step_cache.get(key)
+        if cached is not None:
+            return cached
+
+        from vidmat.pipeline.stepfactory import build_serving_body
+
         cfg = self.pipe_cfg
         cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         net_h, net_w = ((h, w) if ratio >= 1.0
                         else downsample_ratio_shape(h, w, ratio))
-        full = (net_h, net_w) == (h, w)
-        refine = cfg.refine
         bg = (jnp.asarray(self.bg_color, jnp.float32)
               if self.bg_color is not None else None)
-        net = self.net
         refiner = None
         if self._refiner is not None and (net_h, net_w) != (h, w):
             if self._refiner_vars is None:
@@ -128,91 +137,11 @@ class VideoPipeline:
                     self._refiner, h, w, net_h, net_w)
             refiner = (self._refiner, self._refiner_vars)
 
-        # Pallas serving path (auto on TPU): fused area-pool ingest when the
-        # coarse ratio is an integer pool, fused GF stats, packed composite.
-        use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
-                      else jax.default_backend() == "tpu")
-        # The packed word holds composited RGB (premultiplied when bg is
-        # None) + alpha; a raw-foreground output needs the tuple path.
-        use_packed = use_pallas and not need_fgr
-        pool = (h // net_h if (not full and h % net_h == 0
-                               and w % net_w == 0
-                               and h // net_h == w // net_w) else 0)
-        gf_impl = "pallas" if use_pallas else "xla"
-        # space_to_depth models need the coarse grid padded to 16*s2d.
-        mult = 16 * self.model_cfg.space_to_depth
-        pad_nh = -net_h % mult
-        pad_nw = -net_w % mult
-        # fully fused tail (coeffs at coarse res + one-pass refine/composite
-        # kernel) applies on the packed pallas path with an integer pool
-        # and guided refinement without tiling.
-        use_fused = (use_packed and pool > 1 and refine.mode == "guided"
-                     and not cfg.tile_size)
-
-        def body(variables, frame_u8, state):
-            # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
-            frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
-            if use_pallas and pool:
-                from vidmat.ops.pallas import ingest_pool_normalize
-
-                x = ingest_pool_normalize(frame_u8, pool=pool,
-                                          out_dtype=cdtype)
-            else:
-                x = frame.astype(cdtype)
-                if not full:
-                    x = resize_bilinear(x, net_h, net_w)
-            xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
-                          mode="edge") if (pad_nh or pad_nw) else x)
-            alpha, fgr, new_state = net.apply(variables, xp, state)
-            alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
-            fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
-            if use_fused:
-                from vidmat.ops.guided_filter import gray_guide
-                from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
-                from vidmat.ops.pallas.refine_kernel import (
-                    fused_refine_composite)
-
-                p = jnp.concatenate([alpha, fgr], axis=-1)
-                ma, mb = guided_filter_coeffs(
-                    gray_guide(x.astype(jnp.float32)), p,
-                    radius=refine.guided_radius, eps=refine.guided_eps)
-                packed = fused_refine_composite(frame_u8, ma, mb, bg,
-                                                pool=pool)
-                return packed, new_state
-            if not full:
-                if refine.mode == "guided" and cfg.tile_size and pool:
-                    # Tiled/patch full-res refine with overlap blending
-                    # (BASELINE.json:10) — bounds full-res intermediates at
-                    # very large resolutions.
-                    from vidmat.refine.tiling import tiled_guided_upsample
-
-                    alpha, fgr = tiled_guided_upsample(
-                        frame, alpha, fgr, cfg.tile_size, cfg.tile_overlap,
-                        refine.guided_radius, refine.guided_eps,
-                        impl=gf_impl)
-                elif refine.mode == "guided":
-                    alpha, fgr = guided_upsample(
-                        frame, alpha, fgr, refine.guided_radius,
-                        refine.guided_eps, impl=gf_impl)
-                elif refine.mode == "errormap" and refiner is not None:
-                    x32 = x.astype(jnp.float32)
-                    alpha, _err = refiner[0].apply(refiner[1], frame, x32,
-                                                   alpha)
-                    fgr = resize_bilinear(fgr, h, w)
-                else:
-                    alpha = resize_bilinear(alpha, h, w)
-                    fgr = resize_bilinear(fgr, h, w)
-            if use_packed:
-                from vidmat.ops.pallas import composite_rgba_packed
-
-                packed = composite_rgba_packed(fgr, alpha, bg)
-                # alpha rides the high byte of the packed words; fgr is the
-                # low 24 bits — writers unpack the one packed D2H transfer.
-                return packed, new_state
-            rgba = composite_rgba(fgr, alpha, bg)
-            alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
-            fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
-            return (alpha_u8, fgr_u8, rgba), new_state
+        body, plan = build_serving_body(
+            self.net, self.model_cfg, cfg.refine, h, w, ratio,
+            cdtype=cdtype, bg=bg, use_pallas=cfg.use_pallas,
+            need_fgr=need_fgr, tile_size=cfg.tile_size,
+            tile_overlap=cfg.tile_overlap, refiner=refiner)
 
         step = jax.jit(body)
         chunk_step = None
@@ -226,7 +155,9 @@ class VideoPipeline:
                 new_state, outs = jax.lax.scan(scan_body, state, frames_u8)
                 return outs, new_state
 
-        return step, chunk_step, (net_h + pad_nh, net_w + pad_nw)
+        built = (step, chunk_step, (plan.state_h, plan.state_w))
+        self._step_cache[key] = built
+        return built
 
     def run(self, input_source: Union[str, Iterable[np.ndarray]],
             output_alpha: Optional[str] = None,
