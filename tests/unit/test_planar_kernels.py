@@ -1,0 +1,151 @@
+"""Planar conv kernel suite vs XLA conv oracles (interpret mode on CPU;
+the same kernels are driven compiled on TPU by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidmat.ops.pallas.planar import (conv3x3_taps, conv_tap_weights,
+                                      fold_bn, from_planar, interior_mask,
+                                      planar_conv, planar_gru,
+                                      stride2_taps, stride2_tap_weights,
+                                      to_planar)
+
+
+def _xla_conv3x3(x, k, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, k, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_planar_conv3x3_matches_xla():
+    rng = np.random.RandomState(0)
+    h, w, ci, co = 12, 20, 5, 7
+    x = jnp.asarray(rng.randn(1, h, w, ci).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.1)
+    want = np.maximum(np.asarray(_xla_conv3x3(x, k)), 0.0)
+
+    xp = to_planar(x)
+    got = planar_conv([xp], [conv_tap_weights(k)],
+                      conv3x3_taps(w),
+                      jnp.ones((co, 1), jnp.float32),
+                      jnp.zeros((co, 1), jnp.float32),
+                      interior_mask(h, w), act="relu", interpret=True)
+    got = np.asarray(from_planar(got, h, w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_planar_conv_pad_ring_stays_zero():
+    """Chaining invariant: outputs are zero on the pad ring."""
+    rng = np.random.RandomState(1)
+    h, w, ci, co = 8, 12, 3, 4
+    x = jnp.asarray(rng.randn(1, h, w, ci).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32))
+    out = planar_conv([to_planar(x)], [conv_tap_weights(k)],
+                      conv3x3_taps(w),
+                      jnp.ones((co, 1), jnp.float32),
+                      jnp.full((co, 1), 0.7, jnp.float32),  # nonzero bias
+                      interior_mask(h, w), act="relu", interpret=True)
+    from vidmat.ops.pallas.planar import BLOCK, plane_sizes
+
+    pitch, p, total = plane_sizes(h, w)
+    flat = np.asarray(out)
+    assert flat.shape == (co, total)
+    grid = flat[:, BLOCK:BLOCK + p].reshape(co, h + 2, pitch)
+    # pad ring, pitch-alignment lanes, and margins are all exactly zero
+    assert np.all(grid[:, 0, :] == 0) and np.all(grid[:, -1, :] == 0)
+    assert np.all(grid[:, :, 0] == 0) and np.all(grid[:, :, w + 1:] == 0)
+    assert np.all(flat[:, :BLOCK] == 0) and np.all(flat[:, BLOCK + p:] == 0)
+    # and the interior is NOT all zero (the mask didn't eat the signal)
+    assert np.abs(grid[:, 1:h + 1, 1:w + 1]).max() > 0
+
+
+def test_planar_conv_multi_plane_is_concat():
+    """Conv over concat([a, b]) == sum of per-plane tap convs."""
+    rng = np.random.RandomState(2)
+    h, w, ca, cb, co = 10, 14, 4, 6, 5
+    a = jnp.asarray(rng.randn(1, h, w, ca).astype(np.float32))
+    b = jnp.asarray(rng.randn(1, h, w, cb).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, ca + cb, co).astype(np.float32) * 0.1)
+    want = np.asarray(_xla_conv3x3(jnp.concatenate([a, b], -1), k))
+
+    got = planar_conv(
+        [to_planar(a), to_planar(b)],
+        [conv_tap_weights(k[:, :, :ca]), conv_tap_weights(k[:, :, ca:])],
+        conv3x3_taps(w),
+        jnp.ones((co, 1), jnp.float32), jnp.zeros((co, 1), jnp.float32),
+        interior_mask(h, w), act="none", interpret=True)
+    np.testing.assert_allclose(np.asarray(from_planar(got, h, w)), want,
+                               atol=1e-5)
+
+
+def test_planar_conv_bn_fold_matches_flax_bn():
+    rng = np.random.RandomState(3)
+    h, w, ci, co = 8, 10, 3, 6
+    x = jnp.asarray(rng.randn(1, h, w, ci).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.2)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, co).astype(np.float32))
+    beta = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
+    mean = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, co).astype(np.float32))
+    eps = 1e-5
+    y = _xla_conv3x3(x, k)
+    want = np.maximum(
+        np.asarray((y - mean) / jnp.sqrt(var + eps) * gamma + beta), 0.0)
+
+    scale, bias = fold_bn(gamma, beta, mean, var, eps)
+    got = planar_conv([to_planar(x)], [conv_tap_weights(k)],
+                      conv3x3_taps(w), scale, bias,
+                      interior_mask(h, w), act="relu", interpret=True)
+    np.testing.assert_allclose(np.asarray(from_planar(got, h, w)), want,
+                               atol=1e-5)
+
+
+def test_planar_stride2_conv_matches_xla():
+    """Stride-2 3x3 conv == 4-tap conv on the s2d-packed plane."""
+    from vidmat.models.matting_net import space_to_depth
+
+    rng = np.random.RandomState(4)
+    h, w, ci, co = 16, 24, 3, 8
+    x = jnp.asarray(rng.randn(1, h, w, ci).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.1)
+    want = np.asarray(_xla_conv3x3(x, k, stride=2))
+
+    xp = to_planar(space_to_depth(x, 2))  # (4*ci, (h/2+2)*(w/2+2))
+    got = planar_conv([xp], [stride2_tap_weights(k, ci)],
+                      stride2_taps(w // 2),
+                      jnp.ones((co, 1), jnp.float32),
+                      jnp.zeros((co, 1), jnp.float32),
+                      interior_mask(h // 2, w // 2), act="none",
+                      interpret=True)
+    got = np.asarray(from_planar(got, h // 2, w // 2))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_planar_gru_matches_flax_cell():
+    from vidmat.models.layers import ConvGRUCell
+
+    rng = np.random.RandomState(5)
+    h, w, c = 10, 12, 6
+    x = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+    hs = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32) * 0.5)
+    cell = ConvGRUCell(c)
+    variables = cell.init(jax.random.PRNGKey(0), x, hs)
+    want = np.asarray(cell.apply(variables, x, hs))
+
+    pk = variables["params"]
+    kg = pk["gates"]["kernel"]   # (3,3, 2c, 2c)
+    bgk = pk["gates"]["bias"]
+    kc = pk["cand"]["kernel"]    # (3,3, 2c, c)
+    bck = pk["cand"]["bias"]
+    got = planar_gru(
+        to_planar(x), to_planar(hs),
+        conv_tap_weights(kg[:, :, :c]), conv_tap_weights(kg[:, :, c:]),
+        jnp.asarray(bgk, jnp.float32)[:, None],
+        conv_tap_weights(kc[:, :, :c]), conv_tap_weights(kc[:, :, c:]),
+        jnp.asarray(bck, jnp.float32)[:, None],
+        interior_mask(h, w), conv3x3_taps(w), interpret=True)
+    np.testing.assert_allclose(np.asarray(from_planar(got, h, w)), want,
+                               atol=1e-5)

@@ -1,0 +1,374 @@
+"""Production planar conv kernels: the round-2 path of conv_kernel.py.
+
+Why (docs/PERFORMANCE.md "next structural target"): XLA's lowering of
+small-channel NHWC convs moves ~27x the real bytes — channels sit in lanes
+and are padded to 128, so HBM traffic scales with H*W*128 regardless of C.
+The serving net still pays ~950 MB/frame of padded traffic after round 1's
+tail fusion.
+
+Layout: **flattened pitch-aligned planes** ``(C, TOTAL)``:
+
+  - each image row occupies ``pitch = roundup(W+2, 128)`` lanes (one zero
+    pad column each side + alignment zeros), so row-offset taps (dy) are
+    128-aligned slices — free on Mosaic; only dx = +-1 taps need a lane
+    relayout;
+  - rows are flattened: P = (H+2)*pitch, rounded up to the lane-chunk
+    size BLOCK, with a BLOCK-sized zero margin on each end, so the SAME
+    (C, TOTAL) shape is both a kernel input and a kernel output — layers
+    chain with zero glue copies;
+  - pixels live in lanes (waste bounded by the pitch remainder, ~6%),
+    channels in sublanes (no 128x padding).
+
+In this layout a KxK convolution is::
+
+    out[:, chunk] = sum_over_taps  W_tap @ x[:, chunk + offset_tap]
+
+ - the grid runs over lane chunks of BLOCK pixels; each chunk does one
+   aligned dynamic window read per input plane and T static value slices
+   (bounded VMEM temps — a full-plane roll formulation exceeded the 16 MB
+   scoped budget at 144x240 grids, and Mosaic requires dynamic lane-slice
+   starts to be provably 128-aligned);
+ - each tap is one (C_out, C_in) x (C_in, BLOCK) MXU matmul, f32 accum;
+ - the zero pad ring makes every interior output correct with no per-tap
+   masking; ONE interior-mask multiply at the end re-zeroes pad/margin
+   positions, preserving the chaining invariant (margins chunks skip
+   compute entirely and just write zeros).
+
+Concatenation inputs (decoder skips, GRU [x, h]) never materialize: a conv
+over a concat is the sum of per-plane tap matmuls (linearity), so the
+kernel takes a LIST of input planes with per-plane weight stacks.
+
+Stride-2 convs are handled by the caller as 4-tap convs on a
+space-to-depth-packed plane with rearranged weights (see
+stride2_tap_weights), so this kernel only ever sees stride 1.
+
+Measured on TPU v5e (tools/bench_planar.py, bf16, per layer inside a
+30-deep chain): 144x240x16->16 0.009-0.012 ms vs XLA 0.025-0.039 (2-3x),
+HBM 2.5 MB vs 21.5 MB; 144x240x36->36 1.2-1.4x; 72x120x40 1.1-2x.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Lane-chunk size: each grid program emits (C_out, BLOCK) pixels. Large
+# enough for MXU-efficient matmul N dims and to amortize slice relayouts,
+# small enough that per-chunk temporaries stay well under VMEM limits.
+# Also the zero-margin size on each plane end (must be >= the aligned tap
+# window reach, pitch + 128).
+BLOCK = 4096
+
+
+def _align128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def plane_sizes(h: int, w: int) -> Tuple[int, int, int]:
+    """(pitch, P, TOTAL) for an (h, w) interior grid."""
+    pitch = _align128(w + 2)
+    p = (h + 2) * pitch
+    p_pad = -(-p // BLOCK) * BLOCK
+    return pitch, p, BLOCK + p_pad + BLOCK
+
+
+def conv3x3_taps(w: int) -> Tuple[int, Tuple[int, ...], Tuple[int, ...]]:
+    """Tap structure (pitch, dys, dxs) for a 3x3 stride-1 conv on an
+    interior width w; weights ordered [dy, dx] row-major
+    (conv_tap_weights)."""
+    return (_align128(w + 2), (-1, 0, 1), (-1, 0, 1))
+
+
+def stride2_taps(w_packed: int) -> Tuple[int, Tuple[int, ...],
+                                         Tuple[int, ...]]:
+    """Tap structure matching stride2_tap_weights on the packed plane of
+    interior width w_packed = W/2."""
+    return (_align128(w_packed + 2), (-1, 0), (-1, 0))
+
+
+def conv1x1_taps(w: int) -> Tuple[int, Tuple[int, ...], Tuple[int, ...]]:
+    """Tap structure for a 1x1 conv (single centered tap)."""
+    return (_align128(w + 2), (0,), (0,))
+
+
+def _load_window(ref, base, align, block):
+    """Aligned dynamic window read around a chunk (Mosaic requires dynamic
+    lane-slice starts to be provably 128-aligned; base and align are
+    multiples of 128)."""
+    start = pl.multiple_of(base - align, 128)
+    return ref[:, pl.ds(start, block + 2 * align)]
+
+
+def _tap_accum(win, w, taps, align, block, start=0, size=None):
+    """sum over (dy, dx) taps of w[t] @ win[:, tap region].
+
+    One lane relayout per DISTINCT dx (the d-shifted sub-window); every dy
+    tap is then a free 128-aligned static slice of it. This is the
+    kernel's VPU hot spot — 2 shifted sub-windows instead of 6 per-tap
+    relayouts for a 3x3.
+    """
+    pitch, dys, dxs = taps
+    size = block if size is None else size
+    c = win.shape[0]
+    reach = max(-min(dys), max(dys)) * pitch
+    acc = None
+    for j, d in enumerate(dxs):
+        s0 = align + start + d - reach
+        sub = jax.lax.slice(win, (0, s0), (c, s0 + size + 2 * reach))
+        for i, dy in enumerate(dys):
+            t = i * len(dxs) + j
+            xo = (dy * pitch) + reach
+            xt = jax.lax.slice(sub, (0, xo), (c, xo + size))
+            part = jnp.dot(w[t], xt, preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def taps_align(taps) -> int:
+    pitch, dys, dxs = taps
+    reach = max(-min(dys), max(dys)) * pitch + max(-min(dxs), max(dxs))
+    return _align128(max(reach, 1))
+
+
+def taps_halo(taps) -> int:
+    pitch, dys, dxs = taps
+    return max(-min(dys), max(dys)) * pitch + max(-min(dxs), max(dxs))
+
+
+def _conv_kernel(*refs, taps, n_in, act, block, align):
+    # refs: x_0..x_{n-1} (C_i, TOTAL), w_0..w_{n-1} (T, C_out, C_i),
+    #       scale (C_out, 1), bias (C_out, 1), mask (1, BLOCK),
+    #       out (C_out, BLOCK)
+    xs = refs[:n_in]
+    ws = refs[n_in:2 * n_in]
+    scale_ref, bias_ref, mask_ref, out_ref = refs[2 * n_in:]
+    i = pl.program_id(0)
+    margin = jnp.logical_or(i == 0, i == pl.num_programs(0) - 1)
+
+    @pl.when(margin)
+    def _():
+        # Margin chunks only uphold the zero invariant; no compute (their
+        # window reads would also fall off the plane ends).
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(margin))
+    def _():
+        base = i * block
+        acc = None
+        for x_ref, w_ref in zip(xs, ws):
+            w = w_ref[...]  # plane dtype (bf16 on the serving path)
+            win = _load_window(x_ref, base, align, block)
+            part = _tap_accum(win, w, taps, align, block)
+            acc = part if acc is None else acc + part
+        out = acc * scale_ref[...] + bias_ref[...]
+        if act == "relu":
+            out = jnp.maximum(out, 0.0)
+        out_ref[...] = (out * mask_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "act", "out_dtype",
+                                             "interpret"))
+def planar_conv(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
+                taps, scale: jax.Array, bias: jax.Array,
+                mask: jax.Array, act: str = "relu",
+                out_dtype=None, interpret: bool = False) -> jax.Array:
+    """Fused multi-plane tap-conv + affine + activation + interior mask.
+
+    xs:      input planes [(C_i, TOTAL)] (build with to_planar; kernel
+             outputs chain directly).
+    ws:      per-plane tap weight stacks [(T, C_out, C_i)], plane dtype.
+    taps:    static tap structure (pitch, dys, dxs) — conv3x3_taps /
+             stride2_taps / conv1x1_taps.
+    scale/bias: (C_out, 1) f32 — the BN-folded affine (1/0 for a plain
+             conv with its bias in `bias`).
+    mask:    (1, TOTAL) f32 interior mask (interior_mask).
+    act:     "relu" | "none".
+    Returns (C_out, TOTAL) in out_dtype (default xs[0].dtype).
+    """
+    xs = tuple(xs)
+    ws = tuple(ws)
+    c_out = ws[0].shape[1]
+    total = xs[0].shape[1]
+    assert total % BLOCK == 0 and mask.shape[1] == total
+    out_dtype = out_dtype or xs[0].dtype
+    n_in = len(xs)
+    align = taps_align(taps)
+    assert BLOCK >= align, (BLOCK, align)
+    kernel = functools.partial(_conv_kernel, taps=taps, n_in=n_in,
+                               act=act, block=BLOCK, align=align)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    chunk = pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(total // BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((c_out, total), out_dtype),
+        in_specs=[full] * (2 * n_in + 2) + [chunk],
+        out_specs=pl.BlockSpec((c_out, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*xs, *ws, scale, bias, mask)
+
+
+def _gru_kernel(x_ref, h_ref, wgx_ref, wgh_ref, bg_ref, wcx_ref, wch_ref,
+                bc_ref, mask_ref, out_ref, *, taps, features, block,
+                halo, align):
+    """Fused ConvGRU step in planar layout (models/layers.py ConvGRUCell):
+
+      r, z = sigmoid(split(conv3x3([x, h])))
+      c    = tanh(conv3x3([x, r * h]))
+      h'   = (1 - z) * h + z * c
+
+    The candidate conv reads r*h at tap offsets, so gates are computed on a
+    halo-extended chunk (block + 2*halo); r*h taps are static slices of
+    that extended value (align=halo in _tap_accum terms).
+    """
+    i = pl.program_id(0)
+    margin = jnp.logical_or(i == 0, i == pl.num_programs(0) - 1)
+
+    @pl.when(margin)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(margin))
+    def _():
+        base = i * block
+        ext = block + 2 * halo
+
+        xw = _load_window(x_ref, base, align, block)  # (C, block+2*align)
+        hw = _load_window(h_ref, base, align, block)
+
+        # Gates on the halo-extended chunk: positions [-halo, block+halo).
+        rz = (_tap_accum(xw, wgx_ref[...], taps, align, block,
+                         start=-halo, size=ext)
+              + _tap_accum(hw, wgh_ref[...], taps, align, block,
+                           start=-halo, size=ext) + bg_ref[...])
+        rz = jax.nn.sigmoid(rz)
+        r = rz[:features, :]                        # (C, ext) f32
+        z = rz[features:, halo:halo + block]        # (C, block), central
+        h_ext = jax.lax.slice(hw, (0, align - halo),
+                              (features, align - halo + ext))
+        rh = (r * h_ext.astype(jnp.float32)).astype(hw.dtype)
+
+        c = jnp.tanh(_tap_accum(xw, wcx_ref[...], taps, align, block)
+                     + _tap_accum(rh, wch_ref[...], taps, halo, block)
+                     + bc_ref[...])
+        h_c = jax.lax.slice(hw, (0, align),
+                            (features, align + block)).astype(jnp.float32)
+        out = (1.0 - z) * h_c + z * c
+        out_ref[...] = (out * mask_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "interpret"))
+def planar_gru(x: jax.Array, h: jax.Array, wgx: jax.Array, wgh: jax.Array,
+               bg: jax.Array, wcx: jax.Array, wch: jax.Array, bc: jax.Array,
+               mask: jax.Array, taps,
+               interpret: bool = False) -> jax.Array:
+    """Fused ConvGRU: x, h (C, TOTAL) -> h' (C, TOTAL). Weight stacks
+    (T, ., C) in plane dtype; biases (2C, 1) / (C, 1) f32."""
+    c, total = h.shape
+    halo = taps_halo(taps)
+    align = _align128(2 * halo)
+    assert BLOCK >= align, "chunk must cover gates halo + tap offsets"
+    kernel = functools.partial(_gru_kernel, taps=taps, features=c,
+                               block=BLOCK, halo=halo, align=align)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(total // BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((c, total), h.dtype),
+        in_specs=[full] * 8 + [pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                                            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, h, wgx, wgh, bg, wcx, wch, bc, mask)
+
+
+# ---- XLA-side layout glue ----
+
+
+def to_planar(x: jax.Array) -> jax.Array:
+    """(1, H, W, C) -> flattened pitch-aligned plane (C, TOTAL)."""
+    _, h, w, c = x.shape
+    pitch, p, total = plane_sizes(h, w)
+    pl_ = jnp.transpose(x[0], (2, 0, 1))         # (C, H, W)
+    pl_ = jnp.pad(pl_, ((0, 0), (1, 1), (1, pitch - w - 1)))
+    flat = pl_.reshape(c, p)
+    return jnp.pad(flat, ((0, 0), (BLOCK, total - BLOCK - p)))
+
+
+def from_planar(p: jax.Array, h: int, w: int) -> jax.Array:
+    """(C, TOTAL) -> (1, H, W, C)."""
+    pitch, psz, _ = plane_sizes(h, w)
+    c = p.shape[0]
+    x = p[:, BLOCK:BLOCK + psz].reshape(c, h + 2, pitch)[:, 1:h + 1,
+                                                         1:w + 1]
+    return jnp.transpose(x, (1, 2, 0))[None]
+
+
+def interior_mask(h: int, w: int, dtype=jnp.float32) -> jax.Array:
+    """(1, TOTAL) mask: 1 on interior pixels, 0 on pad ring, pitch
+    alignment lanes, and margins."""
+    import numpy as np
+
+    pitch, p, total = plane_sizes(h, w)
+    m = np.zeros((h + 2, pitch), np.float32)
+    m[1:h + 1, 1:w + 1] = 1.0
+    flat = np.zeros(total, np.float32)
+    flat[BLOCK:BLOCK + p] = m.reshape(-1)
+    return jnp.asarray(flat[None], dtype)
+
+
+def conv_tap_weights(kernel: jax.Array, dtype=None) -> jax.Array:
+    """Flax conv kernel (KH, KW, C_in, C_out) -> tap stack (KH*KW, C_out,
+    C_in), tap order [dy, dx] row-major (matches conv3x3_offsets)."""
+    kh, kw, ci, co = kernel.shape
+    w = jnp.transpose(kernel, (0, 1, 3, 2)).reshape(kh * kw, co, ci)
+    return w.astype(dtype) if dtype is not None else w
+
+
+def stride2_tap_weights(kernel: jax.Array, c_in: int, dtype=None
+                        ) -> jax.Array:
+    """Rearrange a 3x3 stride-2 conv kernel for a space-to-depth-packed
+    input plane.
+
+    A stride-2 3x3 conv on grid (H, W) equals a stride-1 conv with 2x2 taps
+    (offsets {-1, 0} per axis) on the s2d(2)-packed grid (H/2, W/2) with
+    4*C_in channels: input row r = 2*h_out + dy - 1 lands on packed row
+    h_out + ry with phase py, where dy -> (ry, py) = {0: (-1, 1), 1: (0, 0),
+    2: (0, 1)} (same for columns). Packed channel order is [py, px, ci]
+    (ci fastest — models.matting_net.space_to_depth).
+
+    kernel: (3, 3, C_in, C_out). Returns (4, C_out, 4*C_in), taps ordered
+    [(ry, rx)] row-major over {-1, 0}^2 (use stride2_offsets).
+    """
+    import numpy as np
+
+    k = np.asarray(kernel, np.float32)
+    co = k.shape[3]
+    dymap = {0: (-1, 1), 1: (0, 0), 2: (0, 1)}
+    out = np.zeros((2, 2, co, 4 * c_in), np.float32)
+    for dy in range(3):
+        ry, py = dymap[dy]
+        for dx in range(3):
+            rx, px = dymap[dx]
+            ph = (py * 2 + px) * c_in
+            out[ry + 1, rx + 1, :, ph:ph + c_in] += k[dy, dx].T
+    w = jnp.asarray(out.reshape(4, co, 4 * c_in))
+    return w.astype(dtype) if dtype is not None else w
+
+
+def fold_bn(bn_scale: jax.Array, bn_bias: jax.Array, bn_mean: jax.Array,
+            bn_var: jax.Array, eps: float) -> Tuple[jax.Array, jax.Array]:
+    """Inference BatchNorm -> per-channel affine (scale, bias), shaped
+    (C, 1) f32 for the kernel."""
+    inv = bn_scale / jnp.sqrt(bn_var + eps)
+    scale = inv.astype(jnp.float32)[:, None]
+    bias = (bn_bias - bn_mean * inv).astype(jnp.float32)[:, None]
+    return scale, bias
