@@ -105,6 +105,9 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--mode", default="1080p",
                     choices=["1080p", "4k", "multistream", "480p", "e2e"])
+    ap.add_argument("--net", default="planar", choices=["planar", "xla"],
+                    help="conv execution path (ModelConfig.conv_impl); "
+                         "planar = the Pallas planar-kernel forward")
     args, _ = ap.parse_known_args()
     mode = "quick" if args.quick and args.mode != "e2e" else args.mode
 
@@ -121,7 +124,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vidmat.config import ModelConfig, RefineConfig
-    from vidmat.models.matting_net import MattingNetwork, init_state
+    from vidmat.models.matting_net import MattingNetwork
     from vidmat.models.weights import init_params
     from vidmat.pipeline.stepfactory import build_serving_body
 
@@ -143,7 +146,8 @@ def main() -> None:
     # (small-channel activations are lane-padded to 128, so HBM traffic
     # scales with H*W, not C — docs/PERFORMANCE.md); random weights (the
     # throughput metric is weight-agnostic).
-    cfg = ModelConfig(space_to_depth=2)
+    conv_impl = args.net if batch == 1 else "xla"  # planar is batch-1
+    cfg = ModelConfig(space_to_depth=2, conv_impl=conv_impl)
     cdtype = jnp.bfloat16
     net = MattingNetwork(cfg, dtype=cdtype)  # true bf16 conv path
     variables = init_params(cfg)
@@ -166,7 +170,7 @@ def main() -> None:
     ring = [jax.device_put(rng.randint(0, 255, (batch, h, w, 3), np.uint8))
             for _ in range(4)]
 
-    state0 = init_state(cfg, batch, plan.state_h, plan.state_w, cdtype)
+    state0 = plan.make_state(batch)
 
     def run_chain(n_frames: int) -> float:
         """Time n_frames chained steps; one D2H sync at the end (the output
@@ -210,6 +214,7 @@ def main() -> None:
         "resolution": f"{w}x{h}" + (f" x{batch} streams" if batch > 1 else ""),
         "downsample_ratio": ratio,
         "dtype": "bfloat16",
+        "conv_impl": conv_impl,
     }
     print(json.dumps(result))
 

@@ -17,10 +17,66 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
+def bench_net(recurrent=True):
+    """Time the NET forward alone (no refine tail): XLA vs planar, bf16,
+    the real 1080p serving shape (288x480 frame, s2d=2)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      __file__.rsplit("/", 2)[0] + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from vidmat.config import ModelConfig
+    from vidmat.models.matting_net import MattingNetwork, init_state
+    from vidmat.models.planar import build_planar_forward, planar_init_state
+    from vidmat.models.weights import init_params
+
+    cfg = ModelConfig(space_to_depth=2, recurrent=recurrent)
+    H, W = 288, 480
+    variables = init_params(cfg)
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    fwd = build_planar_forward(cfg, H, W, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+
+    def chain(stepfn, state0, n):
+        st = state0
+        a = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            a, f, st = stepfn(variables, frame, st)
+        np.asarray(a[0, :2, :2])
+        if st is not None:
+            jax.block_until_ready(st)
+        return time.perf_counter() - t0
+
+    for name, stepfn, st0 in [
+            ("xla   ", jax.jit(net.apply),
+             init_state(cfg, 1, H, W, jnp.bfloat16) if recurrent else None),
+            ("planar", jax.jit(fwd),
+             planar_init_state(cfg, H, W, jnp.bfloat16) if recurrent
+             else None)]:
+        chain(stepfn, st0, 3)
+        vals = []
+        for _ in range(5):
+            ts = chain(stepfn, st0, 10)
+            tl = chain(stepfn, st0, 60)
+            vals.append((tl - ts) / 50)
+        ms = float(np.median(vals)) * 1e3
+        print(f"net fwd {name} recurrent={recurrent}: {ms:.3f} ms",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--netfwd", action="store_true",
+                    help="time the net forward alone (XLA vs planar)")
     args = ap.parse_args()
+    if args.netfwd:
+        bench_net(recurrent=True)
+        bench_net(recurrent=False)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -106,3 +162,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+

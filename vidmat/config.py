@@ -36,6 +36,12 @@ class ModelConfig:
     # regardless of C; packing halves H and W at every layer for ~4x less
     # padded traffic (measured: 882 MB -> ~230 MB per 272x480 frame).
     space_to_depth: int = 1
+    # Conv execution path: "xla" (Flax/XLA convs) or "planar" (the planar
+    # Pallas kernel forward, models/planar.py — same variables, small-
+    # channel activations never touch lane-padded NHWC in HBM). "planar"
+    # applies on the batch-1 TPU serving path; training, parity oracles,
+    # and batched/meshed serving always run "xla".
+    conv_impl: str = "xla"
 
     @property
     def in_channels(self) -> int:

@@ -1,0 +1,317 @@
+"""Planar-kernel forward path for MattingNetwork (inference, batch 1).
+
+This executes the SAME Flax variables as models.matting_net.MattingNetwork,
+but runs every conv/GRU through the planar Pallas kernels
+(vidmat.ops.pallas.planar) so small-channel activations never touch
+lane-padded NHWC layouts in HBM — the round-2 structural perf target
+(docs/PERFORMANCE.md: XLA's conv lowering moves ~27x real bytes at these
+channel counts).
+
+Design:
+  - activations live as flattened pitch-aligned planes (C, TOTAL);
+    channel concats never materialize (multi-plane conv = sum of per-plane
+    tap matmuls), channel splits are cheap sublane slices;
+  - stride-2 encoder convs run as 4-tap convs on space-to-depth-packed
+    planes (stride2_tap_weights);
+  - BatchNorm is folded into each conv's affine (inference);
+  - XLA glue (upsample2x, s2d packing, plane<->grid reshapes) operates on
+    (C, H, W) planar grids — W in lanes, so no 128x channel padding —
+    costing ~2x real bytes per transition;
+  - the recurrent state is carried as planar planes between frames (no
+    per-frame NHWC round-trips).
+
+Parity: tests/parity/test_planar_parity.py pins this against
+MattingNetwork.apply to float32 exactness over recurrent rollouts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidmat.config import ModelConfig
+from vidmat.ops.pallas.planar import (BLOCK, conv1x1_taps, conv3x3_taps,
+                                      conv_tap_weights, fold_bn,
+                                      interior_mask, planar_conv, planar_gru,
+                                      plane_sizes, stride2_taps)
+
+
+# ---- XLA glue on planar grids ----
+
+
+def plane_to_grid(p: jax.Array, h: int, w: int) -> jax.Array:
+    """(C, TOTAL) -> (C, h, w) interior grid."""
+    pitch, psz, _ = plane_sizes(h, w)
+    return p[:, BLOCK:BLOCK + psz].reshape(-1, h + 2, pitch)[:, 1:h + 1,
+                                                             1:w + 1]
+
+
+def grid_to_plane(g: jax.Array) -> jax.Array:
+    """(C, h, w) -> (C, TOTAL) flattened pitch-aligned plane."""
+    c, h, w = g.shape
+    pitch, psz, total = plane_sizes(h, w)
+    g = jnp.pad(g, ((0, 0), (1, 1), (1, pitch - w - 1)))
+    return jnp.pad(g.reshape(c, psz), ((0, 0), (BLOCK, total - BLOCK - psz)))
+
+
+def s2d_grid(g: jax.Array, r: int) -> jax.Array:
+    """(C, h, w) -> (r*r*C, h/r, w/r), channel order [ry, rx, c] (c fastest)
+    — mirrors models.matting_net.space_to_depth.
+
+    Implemented as 0/1 selection matmuls (extract = transpose of the d2s
+    interleave): a naive 5D reshape/transpose materializes intermediates
+    whose trailing dim is r (TPU pads them to 128 lanes, ~64x traffic at
+    r=2), and strided lane slices lower as slow gathers."""
+    c, h, w = g.shape
+    f32 = jnp.float32
+    gf = g.astype(f32)
+    blocks = []
+    for ry in range(r):
+        er = _interleave_mat(h // r, r, ry, f32)  # (h, h/r): extraction
+        for rx in range(r):
+            ec = _interleave_mat(w // r, r, rx, f32)
+            blocks.append(jnp.einsum("hH,chw,wW->cHW", er, gf, ec))
+    return jnp.concatenate(blocks, axis=0).astype(g.dtype)
+
+
+def _interleave_mat(n: int, r: int, phase: int, dtype) -> jax.Array:
+    """(n*r, n) selection matrix: out[i*r + phase] = in[i]."""
+    rows = jnp.arange(n * r)
+    cols = jnp.arange(n)
+    return ((rows[:, None] == cols[None, :] * r + phase)
+            .astype(dtype))
+
+
+def d2s_grid(g: jax.Array, r: int) -> jax.Array:
+    """Inverse of s2d_grid: (r*r*C, h, w) -> (C, h*r, w*r).
+
+    Phase interleaving via 0/1 selection matmuls (the repo-standard trick
+    for lane-crossing data movement — see ops/pallas/ingest_kernel.py's
+    pooling matmuls): a strided scatter or a trailing-dim-r transpose
+    would either lower poorly or lane-pad."""
+    cc, h, w = g.shape
+    c = cc // (r * r)
+    f32 = jnp.float32
+    out = None
+    for ry in range(r):
+        er = _interleave_mat(h, r, ry, f32)
+        for rx in range(r):
+            ec = _interleave_mat(w, r, rx, f32)
+            blk = g[(ry * r + rx) * c:(ry * r + rx + 1) * c].astype(f32)
+            part = jnp.einsum("Hh,chw,Ww->cHW", er, blk, ec)
+            out = part if out is None else out + part
+    return out.astype(g.dtype)
+
+
+def upsample2x_grid(g: jax.Array) -> jax.Array:
+    """2x bilinear (half-pixel centers) on a planar grid — identical
+    sampling to ops.resize.upsample2x (NHWC) per channel."""
+    c, h, w = g.shape
+    return jax.image.resize(g, (c, h * 2, w * 2), method="bilinear",
+                            antialias=False)
+
+
+def stride2_tap_weights_jnp(kernel: jax.Array, c_in: int, dtype
+                            ) -> jax.Array:
+    """Trace-safe (pure jnp) version of planar.stride2_tap_weights."""
+    co = kernel.shape[3]
+    out = jnp.zeros((2, 2, co, 4 * c_in), jnp.float32)
+    dymap = {0: (-1, 1), 1: (0, 0), 2: (0, 1)}
+    for dy in range(3):
+        ry, py = dymap[dy]
+        for dx in range(3):
+            rx, px = dymap[dx]
+            ph = (py * 2 + px) * c_in
+            out = out.at[ry + 1, rx + 1, :, ph:ph + c_in].add(
+                kernel[dy, dx].T.astype(jnp.float32))
+    return out.reshape(4, co, 4 * c_in).astype(dtype)
+
+
+# ---- forward builder ----
+
+
+class PlanarState(NamedTuple):
+    """Recurrent carry as planar planes (no per-frame NHWC round trips)."""
+
+    h3: jax.Array
+    h2: jax.Array
+    h1: jax.Array
+
+
+def planar_init_state(cfg: ModelConfig, height: int, width: int,
+                      dtype=jnp.bfloat16) -> PlanarState:
+    """Zero planar carry for a (height, width) FRAME grid (pre-s2d dims,
+    mirroring models.matting_net.init_state)."""
+    d = cfg.dec_channels
+    s = cfg.space_to_depth
+
+    def zeros(c, div):
+        h, w = height // (div * s), width // (div * s)
+        _, _, total = plane_sizes(h, w)
+        return jnp.zeros((c, total), dtype)
+
+    return PlanarState(h3=zeros(d[0] // 2, 8), h2=zeros(d[1] // 2, 4),
+                       h1=zeros(d[2] // 2, 2))
+
+
+def build_planar_forward(cfg: ModelConfig, height: int, width: int,
+                         dtype=jnp.bfloat16, interpret: bool = False):
+    """Build forward(variables, frame, state) -> (alpha, fgr, new_state)
+    for a fixed (height, width) frame bucket (divisible by 16 *
+    space_to_depth).
+
+    frame: (1, height, width, in_channels) float32 in [0, 1].
+    state: PlanarState (planar_init_state) or None (cold start).
+    alpha/fgr: (1, height, width, 1/3) float32 — identical contract to
+    MattingNetwork.apply (matting_net.py MattingNetwork.__call__).
+    """
+    s = cfg.space_to_depth
+    assert height % (16 * s) == 0 and width % (16 * s) == 0
+    g = [(height // (s * d), width // (s * d)) for d in (1, 2, 4, 8, 16)]
+    masks = [interior_mask(h, w) for (h, w) in g]
+    taps3 = [conv3x3_taps(w) for (_, w) in g]
+    taps2 = [stride2_taps(w // 2) for (_, w) in g[:4]]
+    eps = cfg.bn_eps
+    kconv = functools.partial(planar_conv, interpret=interpret)
+    kgru = functools.partial(planar_gru, interpret=interpret)
+
+    def cba_w(p, st):
+        """ConvBNAct -> (tap kernel source, folded scale/bias)."""
+        scale, bias = fold_bn(p["bn"]["scale"], p["bn"]["bias"],
+                              st["bn"]["mean"], st["bn"]["var"], eps)
+        return p["conv"]["kernel"], scale, bias
+
+    def forward(variables, frame, state: Optional[PlanarState]):
+        prm = variables["params"]
+        stt = variables["batch_stats"]
+        enc_p, enc_s = prm["encoder"], stt["encoder"]
+
+        assert frame.shape[0] == 1, "planar path is batch-1 (serving)"
+        fg = jnp.transpose(frame[0], (2, 0, 1))          # (C_in, H, W)
+        rgb = fg[:3].astype(jnp.float32)
+        xg = s2d_grid(fg.astype(dtype), s) if s > 1 else fg.astype(dtype)
+        x_in = grid_to_plane(xg)                          # level-0 plane
+        c_in0 = xg.shape[0]
+
+        def stride2_conv(plane, level, kernel, scale, bias):
+            """ConvBNAct stride 2: level grid -> level+1 grid."""
+            h, w = g[level]
+            packed = grid_to_plane(s2d_grid(plane_to_grid(plane, h, w), 2))
+            wst = stride2_tap_weights_jnp(kernel, kernel.shape[2], dtype)
+            return kconv([packed], [wst], taps2[level], scale, bias,
+                         masks[level + 1])
+
+        def conv3(planes, level, kernel, scale, bias, splits, act="relu"):
+            """3x3 stride-1 ConvBNAct over a multi-plane concat."""
+            ws = []
+            o = 0
+            for csz in splits:
+                ws.append(conv_tap_weights(kernel[:, :, o:o + csz], dtype))
+                o += csz
+            return kconv(planes, ws, taps3[level], scale, bias,
+                         masks[level], act=act)
+
+        # ---- encoder (matting_net.py Encoder: stem + s2a/b + s3a/b + s4a/b)
+        k, sc, bi = cba_w(enc_p["stem"], enc_s["stem"])
+        f1 = stride2_conv(x_in, 0, k, sc, bi)
+        k, sc, bi = cba_w(enc_p["s2a"], enc_s["s2a"])
+        f2 = stride2_conv(f1, 1, k, sc, bi)
+        k, sc, bi = cba_w(enc_p["s2b"], enc_s["s2b"])
+        f2 = conv3([f2], 2, k, sc, bi, (k.shape[2],))
+        k, sc, bi = cba_w(enc_p["s3a"], enc_s["s3a"])
+        f3 = stride2_conv(f2, 2, k, sc, bi)
+        k, sc, bi = cba_w(enc_p["s3b"], enc_s["s3b"])
+        f3 = conv3([f3], 3, k, sc, bi, (k.shape[2],))
+        k, sc, bi = cba_w(enc_p["s4a"], enc_s["s4a"])
+        f4 = stride2_conv(f3, 3, k, sc, bi)
+        k, sc, bi = cba_w(enc_p["s4b"], enc_s["s4b"])
+        f4 = conv3([f4], 4, k, sc, bi, (k.shape[2],))
+
+        # ---- bottleneck gate (layers.py BottleneckGate)
+        bp, bs = prm["bottleneck"], stt["bottleneck"]
+        k, sc, bi = cba_w(bp["proj"], bs["proj"])
+        proj = kconv([f4], [conv_tap_weights(k, dtype)], conv1x1_taps(g[4][1]),
+                     sc, bi, masks[4])
+        h4, w4 = g[4]
+        gmean = jnp.sum(f4.astype(jnp.float32), axis=1) / float(h4 * w4)
+        gk = bp["gate"]["kernel"][0, 0].astype(jnp.float32)  # (C, F)
+        gb = bp["gate"]["bias"].astype(jnp.float32)
+        gate = jax.nn.sigmoid(gmean @ gk + gb)               # (F,)
+        b4 = (proj.astype(jnp.float32) * gate[:, None]).astype(dtype)
+
+        # ---- decoder (matting_net.py DecoderStage: upsample + skip concat
+        #      + conv + split-half ConvGRU)
+        def dec_stage(name, xs, src_level, skip, h_prev, feats):
+            lvl = src_level - 1
+            h2_, w2_ = g[src_level]
+            ups = [grid_to_plane(upsample2x_grid(plane_to_grid(p, h2_, w2_)))
+                   for p in xs]
+            p = prm[name]
+            st_ = stt[name]
+            k, sc, bi = cba_w(p["conv"], st_["conv"])
+            splits = tuple(pl_.shape[0] for pl_ in ups) + (
+                k.shape[2] - sum(pl_.shape[0] for pl_ in ups),)
+            x = conv3(ups + [skip], lvl, k, sc, bi, splits)
+            if not cfg.recurrent:
+                return [x], None
+            half = feats // 2
+            a, b = x[:half], x[half:]
+            gp = p["gru"]
+            kg, kc = gp["gates"]["kernel"], gp["cand"]["kernel"]
+            if h_prev is None:
+                h_prev = jnp.zeros_like(b)
+            h_new = kgru(
+                b, h_prev,
+                conv_tap_weights(kg[:, :, :half], dtype),
+                conv_tap_weights(kg[:, :, half:], dtype),
+                gp["gates"]["bias"].astype(jnp.float32)[:, None],
+                conv_tap_weights(kc[:, :, :half], dtype),
+                conv_tap_weights(kc[:, :, half:], dtype),
+                gp["cand"]["bias"].astype(jnp.float32)[:, None],
+                masks[lvl], taps3[lvl])
+            return [a, h_new], h_new
+
+        d = cfg.dec_channels
+        h3 = h2 = h1 = None
+        if state is not None:
+            h3, h2, h1 = state.h3, state.h2, state.h1
+        xs, n3 = dec_stage("d3", [b4], 4, f3, h3, d[0])
+        xs, n2 = dec_stage("d2", xs, 3, f2, h2, d[1])
+        xs, n1 = dec_stage("d1", xs, 2, f1, h1, d[2])
+
+        # ---- full-res stage conditioned on the (packed) raw frame
+        h1_, w1_ = g[1]
+        ups = [grid_to_plane(upsample2x_grid(plane_to_grid(p, h1_, w1_)))
+               for p in xs]
+        cond = x_in if s > 1 else grid_to_plane(rgb.astype(dtype))
+        k, sc, bi = cba_w(prm["d0"], stt["d0"])
+        splits = tuple(pl_.shape[0] for pl_ in ups) + (
+            c_in0 if s > 1 else 3,)
+        x = conv3(ups + [cond], 0, k, sc, bi, splits)
+
+        hk = prm["head"]["kernel"]
+        hb = prm["head"]["bias"].astype(jnp.float32)[:, None]
+        ones = jnp.ones((hk.shape[3], 1), jnp.float32)
+        out = conv3([x], 0, hk, ones, hb, (hk.shape[2],), act="none")
+
+        og = plane_to_grid(out, *g[0]).astype(jnp.float32)
+        if s > 1:
+            og = d2s_grid(og, s)                          # (4, H, W)
+        alpha = jnp.clip(og[0:1], 0.0, 1.0)
+        fgr = jnp.clip(og[1:4] + rgb, 0.0, 1.0)
+
+        if cfg.use_trimap and frame.shape[-1] >= 4:
+            tri = fg[3:4]
+            alpha = jnp.where(tri >= 0.75, 1.0,
+                              jnp.where(tri <= 0.25, 0.0, alpha))
+
+        new_state = (PlanarState(h3=n3, h2=n2, h1=n1) if cfg.recurrent
+                     else state)
+        alpha_nhwc = jnp.transpose(alpha, (1, 2, 0))[None]
+        fgr_nhwc = jnp.transpose(fgr, (1, 2, 0))[None]
+        return alpha_nhwc, fgr_nhwc, new_state
+
+    return forward

@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vidmat.config import ModelConfig, RefineConfig
-from vidmat.models.matting_net import MattingNetwork, init_state
+from vidmat.models.matting_net import MattingNetwork
 from vidmat.models.weights import init_params
 from vidmat.pipeline.stepfactory import build_serving_body
 
@@ -99,7 +99,7 @@ class MultiStreamMatting:
             self._sharding = None
             self._step = jax.jit(step)
         self.mesh = mesh
-        self.state = init_state(cfg, num_streams, *self._state_hw, cdtype)
+        self.state = plan.make_state(num_streams)
         if self._sharding is not None:
             self.state = jax.device_put(self.state, self._sharding)
 

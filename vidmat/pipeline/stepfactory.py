@@ -44,6 +44,10 @@ class ServingPlan:
     pool: int           # integer area-pool factor (0 = non-integer ratio)
     packed: bool        # body returns (N,H,W) uint32 packed RGBA
     full: bool          # network runs at full resolution (no coarse pass)
+    # Zero recurrent carry for a given batch size (None when the model is
+    # non-recurrent). The carry TYPE depends on the conv path: NHWC
+    # RecurrentState for "xla", planar planes for "planar".
+    make_state: object = None
 
 
 def build_serving_body(
@@ -101,6 +105,35 @@ def build_serving_body(
     use_fused = (use_packed and pool > 1 and refine.mode == "guided"
                  and not tile_size)
 
+    # Planar Pallas conv path (models/planar.py): the whole net runs in
+    # flattened planar layout — small-channel activations never touch
+    # lane-padded NHWC in HBM. Batch-1 TPU serving only.
+    state_h, state_w = net_h + pad_nh, net_w + pad_nw
+    use_planar = use_pallas and model_cfg.conv_impl == "planar"
+    planar_fwd = None
+    if use_planar:
+        from vidmat.models.planar import build_planar_forward
+
+        planar_fwd = build_planar_forward(model_cfg, state_h, state_w,
+                                          dtype=cdtype)
+
+    def net_apply(variables, xp, state):
+        if planar_fwd is not None:
+            return planar_fwd(variables, xp, state)
+        return net.apply(variables, xp, state)
+
+    def make_state(batch: int):
+        if not model_cfg.recurrent:
+            return None
+        if use_planar:
+            from vidmat.models.planar import planar_init_state
+
+            assert batch == 1, "planar path is batch-1 (serving)"
+            return planar_init_state(model_cfg, state_h, state_w, cdtype)
+        from vidmat.models.matting_net import init_state
+
+        return init_state(model_cfg, batch, state_h, state_w, cdtype)
+
     def body(variables, frame_u8, state):
         # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
         frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
@@ -114,7 +147,7 @@ def build_serving_body(
                 x = resize_bilinear(x, net_h, net_w)
         xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
                       mode="edge") if (pad_nh or pad_nw) else x)
-        alpha, fgr, new_state = net.apply(variables, xp, state)
+        alpha, fgr, new_state = net_apply(variables, xp, state)
         alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
         fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
         if use_fused:
@@ -165,7 +198,7 @@ def build_serving_body(
         fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
         return (alpha_u8, fgr_u8, rgba), new_state
 
-    plan = ServingPlan(net_h=net_h, net_w=net_w, state_h=net_h + pad_nh,
-                       state_w=net_w + pad_nw, pool=pool,
-                       packed=use_packed, full=full)
+    plan = ServingPlan(net_h=net_h, net_w=net_w, state_h=state_h,
+                       state_w=state_w, pool=pool,
+                       packed=use_packed, full=full, make_state=make_state)
     return body, plan

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vidmat.config import ModelConfig, PipelineConfig
-from vidmat.models.matting_net import MattingNetwork, init_state
+from vidmat.models.matting_net import MattingNetwork
 from vidmat.models.weights import init_params
 from vidmat.ops.resize import downsample_ratio_shape
 from vidmat.io.reader import FrameSource
@@ -155,7 +155,7 @@ class VideoPipeline:
                 new_state, outs = jax.lax.scan(scan_body, state, frames_u8)
                 return outs, new_state
 
-        built = (step, chunk_step, (plan.state_h, plan.state_w))
+        built = (step, chunk_step, plan)
         self._step_cache[key] = built
         return built
 
@@ -208,13 +208,9 @@ class VideoPipeline:
                 if ratio is None:
                     ratio = auto_downsample_ratio(fh, fw)
                 ph, pw = fh + ((-fh) % 16), fw + ((-fw) % 16)
-                step, chunk_step, (state_h, state_w) = self._build_step(
+                step, chunk_step, plan = self._build_step(
                     ph, pw, ratio, need_fgr=bool(output_foreground))
-                cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
-                          else jnp.float32)
-                state = (init_state(self.model_cfg, 1, state_h, state_w,
-                                    cdtype)
-                         if self.model_cfg.recurrent else None)
+                state = plan.make_state(1)
                 if output_alpha:
                     writers["alpha"] = VideoWriter(output_alpha, source.fps)
                 if output_foreground:
