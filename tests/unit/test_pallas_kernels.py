@@ -18,7 +18,8 @@ def test_composite_kernel_matches_oracle():
     rng = np.random.RandomState(0)
     fgr = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
     alpha = jnp.asarray(rng.rand(2, 32, 128, 1).astype(np.float32))
-    for bg in (None, jnp.array([0.0, 1.0, 0.0])):
+    bg_img = jnp.asarray(rng.rand(32, 128, 3).astype(np.float32))
+    for bg in (None, jnp.array([0.0, 1.0, 0.0]), bg_img):
         packed = composite_rgba_packed(fgr, alpha, bg, interpret=True)
         got = unpack_rgba_host(np.asarray(packed))
         want = np.asarray(composite_rgba(fgr, alpha, bg))
@@ -100,7 +101,8 @@ def test_fused_refine_composite_matches_oracle():
     b_lr = rng.uniform(-0.5, 1.0, (n, h // pool, w // pool, 4)
                        ).astype(np.float32)
 
-    for bg in (None, jnp.array([0.0, 1.0, 0.0])):
+    bg_img = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    for bg in (None, jnp.array([0.0, 1.0, 0.0]), bg_img):
         got = unpack_rgba_host(np.asarray(fused_refine_composite(
             jnp.asarray(frame), jnp.asarray(a_lr), jnp.asarray(b_lr), bg,
             pool=pool, interpret=True)))

@@ -37,6 +37,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   output_foreground: Optional[str] = None,
                   output_composition: Optional[str] = None,
                   bg_color: Tuple[float, float, float] = (0.0, 1.0, 0.0),
+                  bg_image: Optional[Union[str, np.ndarray]] = None,
                   downsample_ratio: Optional[float] = None,
                   variables=None,
                   model_cfg: Optional[ModelConfig] = None,
@@ -49,6 +50,9 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         RGB frames.
     output_*: optional output paths (any subset). Without any, frames are
         processed and metrics returned (benchmark mode).
+    bg_image: background replacement image for the composition output —
+        path or (H, W, 3) array; blended per-pixel on device (takes
+        precedence over bg_color).
     downsample_ratio: coarse-pass scale; None = auto from resolution
         (BASELINE.json:10).
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
@@ -61,6 +65,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         variables=variables,
         downsample_ratio=downsample_ratio,
         bg_color=bg_color if output_composition else None,
+        bg_image=bg_image if output_composition else None,
         refiner_variables=refiner_variables,
     )
     return pipeline.run(input_source, output_alpha=output_alpha,

@@ -24,6 +24,9 @@ def _add_video(sub):
     p.add_argument("--output-composition")
     p.add_argument("--bg-color", default="0,1,0",
                    help="composite background R,G,B in [0,1]")
+    p.add_argument("--bg-image", default=None,
+                   help="background replacement image path (overrides "
+                        "--bg-color for the composition output)")
     p.add_argument("--downsample-ratio", type=float, default=None)
     p.add_argument("--preset", choices=["clip_480p", "video_1080p",
                                         "video_4k"], default=None)
@@ -95,7 +98,8 @@ def main(argv=None) -> int:
                 args.input, output_alpha=args.output_alpha,
                 output_foreground=args.output_foreground,
                 output_composition=args.output_composition,
-                bg_color=bg, downsample_ratio=args.downsample_ratio,
+                bg_color=bg, bg_image=args.bg_image,
+                downsample_ratio=args.downsample_ratio,
                 variables=variables, model_cfg=model_cfg,
                 pipe_cfg=pipe_cfg, progress=args.progress)
         print(json.dumps(metrics))

@@ -26,25 +26,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _composite_kernel(fgr_ref, alpha_ref, bg_ref, out_ref):
+def _composite_kernel(fgr_ref, alpha_ref, bg_ref, out_ref, *,
+                      bg_mode: str = "color"):
     a = alpha_ref[0]  # (Th, W)
-    use_bg = bg_ref[0, 3] > 0.5  # flag channel: bg valid
     # Mosaic lacks a direct f32->u32 cast; quantized values are in [0, 255]
     # so a signed i32 cast followed by a reinterpret is exact.
     word = jnp.zeros(a.shape, jnp.int32)
+    if bg_mode == "color":
+        use_bg = bg_ref[0, 3] > 0.5  # flag channel: bg valid
     for c in range(3):
         f = fgr_ref[c]
-        bg_c = bg_ref[0, c]
-        rgb = jnp.where(use_bg, f * a + bg_c * (1.0 - a), f * a)
+        if bg_mode == "image":
+            # per-pixel background replacement: bg_ref is the (3, Th, W)
+            # planar bg tile riding the same row grid as fgr
+            rgb = f * a + bg_ref[c] * (1.0 - a)
+        else:
+            bg_c = bg_ref[0, c]
+            rgb = jnp.where(use_bg, f * a + bg_c * (1.0 - a), f * a)
         q = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.int32)
         word = word | (q << (8 * c))
     qa = jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.int32)
     out_ref[...] = pltpu.bitcast(word | (qa << 24), jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("bg_mode", "interpret"))
 def _composite_call(fgr_chw: jax.Array, alpha_hw: jax.Array,
-                    bg4: jax.Array, interpret: bool = False) -> jax.Array:
+                    bg: jax.Array, bg_mode: str = "color",
+                    interpret: bool = False) -> jax.Array:
     c, h, w = fgr_chw.shape
     # Pick the largest tile height that divides h AND keeps the working set
     # (fgr 3ch f32 + alpha f32 + u32 out, double-buffered) under the 16MB
@@ -57,8 +65,14 @@ def _composite_call(fgr_chw: jax.Array, alpha_hw: jax.Array,
             tile_h = cand
             break
     grid = (h // tile_h,)
+    bg_spec = (pl.BlockSpec((3, tile_h, w), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+               if bg_mode == "image" else
+               pl.BlockSpec((1, 4), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM))
+    kernel = functools.partial(_composite_kernel, bg_mode=bg_mode)
     return pl.pallas_call(
-        _composite_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint32),
         grid=grid,
         in_specs=[
@@ -66,13 +80,12 @@ def _composite_call(fgr_chw: jax.Array, alpha_hw: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_h, w), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            bg_spec,
         ],
         out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(fgr_chw, alpha_hw[None], bg4[None])
+    )(fgr_chw, alpha_hw[None], bg)
 
 
 def composite_rgba_packed(fgr: jax.Array, alpha: jax.Array,
@@ -81,19 +94,24 @@ def composite_rgba_packed(fgr: jax.Array, alpha: jax.Array,
     """Fused composite producing packed RGBA words.
 
     fgr: (N, H, W, 3) float [0,1]; alpha: (N, H, W, 1)
-    bg:  (3,) color or None (premultiplied output)
+    bg:  (3,) color, (H, W, 3) replacement image, or None (premultiplied
+         output)
     Returns (N, H, W) uint32; view as uint8 RGBA via
     ``np.asarray(out).view(np.uint8).reshape(N, H, W, 4)``.
     """
-    n = fgr.shape[0]
+    fgr_chw = jnp.transpose(fgr.astype(jnp.float32), (0, 3, 1, 2))
+    alpha_hw = alpha.astype(jnp.float32)[..., 0]
+    if bg is not None and jnp.ndim(bg) == 3:
+        bg_p = jnp.transpose(jnp.asarray(bg, jnp.float32), (2, 0, 1))
+        fn = jax.vmap(lambda f, a: _composite_call(
+            f, a, bg_p, bg_mode="image", interpret=interpret))
+        return fn(fgr_chw, alpha_hw)
     if bg is None:
         bg4 = jnp.zeros((4,), jnp.float32)
     else:
         bg4 = jnp.concatenate([jnp.asarray(bg, jnp.float32),
                                jnp.ones((1,), jnp.float32)])
-    fgr_chw = jnp.transpose(fgr.astype(jnp.float32), (0, 3, 1, 2))
-    alpha_hw = alpha.astype(jnp.float32)[..., 0]
-    fn = jax.vmap(lambda f, a: _composite_call(f, a, bg4,
+    fn = jax.vmap(lambda f, a: _composite_call(f, a, bg4[None],
                                                interpret=interpret))
     return fn(fgr_chw, alpha_hw)
 

@@ -67,7 +67,7 @@ def _row_upsample_matrix(th: int, hl: int, pool: int, r0):
 
 
 def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
-                   th: int):
+                   th: int, bg_mode: str = "color"):
     i = pl.program_id(0)
     _, hl, wl = a_ref.shape
     w = out_ref.shape[1]
@@ -88,14 +88,20 @@ def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
 
     alpha = jnp.clip(upsample(a_ref, 0) * guide + upsample(b_ref, 0),
                      0.0, 1.0)
-    use_bg = bg_ref[0, 3] > 0.5
+    if bg_mode == "color":
+        use_bg = bg_ref[0, 3] > 0.5
     word = jnp.round(alpha * 255.0).astype(jnp.int32) << 24
     for c in range(3):
         fgr = jnp.clip(upsample(a_ref, c + 1) * guide
                        + upsample(b_ref, c + 1), 0.0, 1.0)
-        bg_c = bg_ref[0, c]
-        rgb = jnp.where(use_bg, fgr * alpha + bg_c * (1.0 - alpha),
-                        fgr * alpha)
+        if bg_mode == "image":
+            # per-pixel background replacement: bg_ref is the (3, th, W)
+            # planar bg tile on the same output row grid
+            rgb = fgr * alpha + bg_ref[c] * (1.0 - alpha)
+        else:
+            bg_c = bg_ref[0, c]
+            rgb = jnp.where(use_bg, fgr * alpha + bg_c * (1.0 - alpha),
+                            fgr * alpha)
         q = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.int32)
         word = word | (q << (8 * c))
     out_ref[...] = pltpu.bitcast(word, jnp.uint32)
@@ -108,23 +114,33 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
     """Fused coefficient-upsample + guided apply + composite + RGBA pack.
 
     frame_u8: (N, H, W, 3) uint8; a_lr/b_lr: (N, H/pool, W/pool, 4) f32
-    (channels [alpha, r, g, b]); bg: (3,) color or None (premultiplied).
+    (channels [alpha, r, g, b]); bg: (3,) color, (H, W, 3) replacement
+    image, or None (premultiplied).
     Returns (N, H, W) uint32 packed RGBA (little-endian R|G<<8|B<<16|A<<24).
     """
     n, h, w, _ = frame_u8.shape
     _, hl, wl, c4 = a_lr.shape
     if (h // hl != pool) or (w // wl != pool) or c4 != 4:
         raise ValueError("coeff grid must be full_res / pool with 4 channels")
-    if bg is None:
-        bg4 = jnp.zeros((4,), jnp.float32)
+    bg_mode = "image" if (bg is not None and jnp.ndim(bg) == 3) else "color"
+    if bg_mode == "image":
+        bg_in = jnp.transpose(jnp.asarray(bg, jnp.float32), (2, 0, 1))
+    elif bg is None:
+        bg_in = jnp.zeros((1, 4), jnp.float32)
     else:
-        bg4 = jnp.concatenate([jnp.asarray(bg, jnp.float32),
-                               jnp.ones((1,), jnp.float32)])
+        bg_in = jnp.concatenate([jnp.asarray(bg, jnp.float32),
+                                 jnp.ones((1,), jnp.float32)])[None]
 
     th = 64
     while h % th:
         th //= 2
-    kernel = functools.partial(_refine_kernel, pool=pool, th=th)
+    kernel = functools.partial(_refine_kernel, pool=pool, th=th,
+                               bg_mode=bg_mode)
+    bg_spec = (pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+               if bg_mode == "image" else
+               pl.BlockSpec((1, 4), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM))
 
     frame_p = jnp.transpose(frame_u8, (0, 3, 1, 2))
     a_p = jnp.transpose(a_lr.astype(jnp.float32), (0, 3, 1, 2))
@@ -142,12 +158,11 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, hl, wl), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 4), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
+                bg_spec,
             ],
             out_specs=pl.BlockSpec((th, w), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(fr, ap, bp, bg4[None])
+        )(fr, ap, bp, bg_in)
 
     return jax.vmap(one)(frame_p, a_p, b_p)

@@ -95,30 +95,89 @@ def tile_frame(frame: jax.Array, layout: TileLayout) -> jax.Array:
     return jnp.concatenate(tiles, axis=0)
 
 
+def _inv_norm(layout: TileLayout) -> np.ndarray:
+    """Precomputed reciprocal of the summed feather weights (1, H, W, 1).
+
+    The normalizer depends only on the (static) layout, so it is built on
+    host with numpy and baked into the compiled program as a constant —
+    the runtime blend is then pure weighted accumulate + one multiply,
+    half the dynamic-update-slice traffic of accumulating norm on device.
+    """
+    th, tw = layout.tile_h, layout.tile_w
+    weight = _feather_weight(th, tw, layout.overlap)
+    norm = np.zeros((layout.h, layout.w), np.float32)
+    for y in layout.ys:
+        for x in layout.xs:
+            norm[y:y + th, x:x + tw] += weight
+    return (1.0 / norm)[None, :, :, None]
+
+
+def _segments(starts: Tuple[int, ...], tsize: int, total: int):
+    """Static decomposition of [0, total) into maximal segments with a
+    CONSTANT set of covering tiles. Returns [(seg_start, seg_len,
+    [(tile_idx, local_offset), ...])]. With the standard overlapped grid
+    each segment is covered by 1 or 2 tiles (more if tiles overlap deeply
+    — handled generically)."""
+    cuts = sorted({0, total} | {s for s in starts} | {s + tsize
+                                                      for s in starts})
+    segs = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if a >= total or b <= 0:
+            continue
+        cover = [(i, a - s) for i, s in enumerate(starts)
+                 if s <= a and b <= s + tsize]
+        segs.append((a, b - a, cover))
+    return segs
+
+
 def untile_frame(tiles: jax.Array, layout: TileLayout, n: int) -> jax.Array:
     """Inverse of tile_frame with feathered overlap blending.
 
     tiles: (N * num_tiles, tile, tile, C) -> (N, H, W, C)
+
+    The overlap-blend scatter is reformulated as a STATIC segment
+    decomposition: the frame splits (per axis) into segments whose covering
+    tile set is constant, so the blend is `concat(sum of <=2 weighted tile
+    slices per segment)` — every byte is written exactly once, with no
+    read-modify-write chain. The naive dynamic-update-slice accumulation
+    this replaces measured 28x off the HBM roofline at 4K (XLA copies the
+    full accumulator per update — tools/bench_tiling.py, docs/
+    PERFORMANCE.md); this form is single-pass. The sum-of-feather-weights
+    normalizer depends only on the layout and is baked in as a host
+    constant (_inv_norm).
     """
     th, tw = layout.tile_h, layout.tile_w
     c = tiles.shape[-1]
+    nx = len(layout.xs)
     weight = jnp.asarray(
         _feather_weight(th, tw, layout.overlap))[None, :, :, None]
+    xsegs = _segments(layout.xs, tw, layout.w)
+    ysegs = _segments(layout.ys, th, layout.h)
 
-    acc = jnp.zeros((n, layout.h, layout.w, c), tiles.dtype)
-    norm = jnp.zeros((n, layout.h, layout.w, 1), tiles.dtype)
-    i = 0
-    for y in layout.ys:
-        for x in layout.xs:
-            tb = tiles[i * n:(i + 1) * n] * weight
-            acc = jax.lax.dynamic_update_slice(
-                acc, jax.lax.dynamic_slice(
-                    acc, (0, y, x, 0), (n, th, tw, c)) + tb, (0, y, x, 0))
-            norm = jax.lax.dynamic_update_slice(
-                norm, jax.lax.dynamic_slice(
-                    norm, (0, y, x, 0), (n, th, tw, 1)) + weight, (0, y, x, 0))
-            i += 1
-    return acc / norm
+    def xstrip(iy: int) -> jax.Array:
+        """Tile row iy composed along x: (n, th, W, c)."""
+        parts = []
+        for _, slen, cover in xsegs:
+            acc = None
+            for jx, off in cover:
+                t = tiles[(iy * nx + jx) * n:(iy * nx + jx + 1) * n]
+                part = (t[:, :, off:off + slen]
+                        * weight[:, :, off:off + slen])
+                acc = part if acc is None else acc + part
+            parts.append(acc)
+        return jnp.concatenate(parts, axis=2)
+
+    strips = {iy: xstrip(iy)
+              for iy in range(len(layout.ys))}
+    rows = []
+    for _, slen, cover in ysegs:
+        acc = None
+        for iy, off in cover:
+            part = strips[iy][:, off:off + slen]
+            acc = part if acc is None else acc + part
+        rows.append(acc)
+    out = jnp.concatenate(rows, axis=1)
+    return out * jnp.asarray(_inv_norm(layout), tiles.dtype)
 
 
 def tiled_apply(fn, frame: jax.Array, tile: int, overlap: int) -> jax.Array:

@@ -45,7 +45,8 @@ def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
 
 def make_train_step(cfg: ModelConfig, optimizer=None,
                     mesh: Optional[Mesh] = None,
-                    remat: bool = True):
+                    remat: bool = True,
+                    laplacian_weight: float = 0.0):
     """Build the jitted train step.
 
     train_step(state, clips, gt_alpha, gt_fgr) -> (state, metrics)
@@ -79,7 +80,8 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
 
     def loss_fn(params, batch_stats, clips, gt_alpha, gt_fgr):
         alphas, fgrs, new_stats = forward_clip(params, batch_stats, clips)
-        loss, terms = matting_loss(alphas, fgrs, gt_alpha, gt_fgr, clips)
+        loss, terms = matting_loss(alphas, fgrs, gt_alpha, gt_fgr, clips,
+                                   laplacian_weight=laplacian_weight)
         return loss, (terms, new_stats)
 
     def train_step(state: TrainState, clips, gt_alpha, gt_fgr):

@@ -20,16 +20,73 @@ def _sobel(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return dy, dx
 
 
+# 5-tap binomial [1 4 6 4 1]/16 — the standard Burt-Adelson pyramid filter.
+# Kept as a host constant: a module-level jnp array would initialize the
+# XLA backend at import time, which breaks multi-host startup ordering
+# (jax.distributed.initialize must run before any backend touch).
+import numpy as _np
+
+_GAUSS5 = _np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], _np.float32) / 16.0
+
+
+def _blur_down(x: jax.Array) -> jax.Array:
+    """Separable 5-tap Gaussian blur + 2x decimation on NHWC.
+
+    Runs as two depthwise 1D convs (XLA maps these onto fused
+    elementwise/reduce pipelines at these channel counts; no custom kernel
+    warranted for a training-only op)."""
+    n, h, w, c = x.shape
+    k = jnp.asarray(_GAUSS5, x.dtype)
+    xt = jnp.moveaxis(x, -1, 1).reshape(n * c, 1, h, w)
+    kh = k.reshape(1, 1, 5, 1)
+    kw = k.reshape(1, 1, 1, 5)
+    xt = jax.lax.conv_general_dilated(xt, kh, (1, 1), [(2, 2), (0, 0)])
+    xt = jax.lax.conv_general_dilated(xt, kw, (1, 1), [(0, 0), (2, 2)])
+    xt = xt[:, :, ::2, ::2]
+    hh, ww = xt.shape[2], xt.shape[3]
+    return jnp.moveaxis(xt.reshape(n, c, hh, ww), 1, -1)
+
+
+def laplacian_pyramid_loss(pred: jax.Array, gt: jax.Array,
+                           levels: int = 5) -> jax.Array:
+    """Multi-scale L1 over Laplacian pyramid bands (the RVM-family alpha
+    loss that sharpens hair/fine-structure edges which a plain L1 washes
+    out). Band k is weighted 2^k — coarse bands carry larger magnitudes
+    per pixel after repeated blurring.
+
+    pred/gt: (N, H, W, C); levels capped so the coarsest band is >= 4 px.
+    """
+    import math
+
+    h, w = pred.shape[1], pred.shape[2]
+    levels = max(1, min(levels, int(math.log2(min(h, w))) - 1))
+    loss = jnp.zeros((), pred.dtype)
+    for k in range(levels):
+        if k == levels - 1:
+            bp, bg = pred, gt
+        else:
+            dp, dg = _blur_down(pred), _blur_down(gt)
+            up_shape = pred.shape
+            bp = pred - jax.image.resize(dp, up_shape, "bilinear")
+            bg = gt - jax.image.resize(dg, up_shape, "bilinear")
+            pred, gt = dp, dg
+        loss = loss + (2.0 ** k) * jnp.mean(jnp.abs(bp - bg))
+    return loss
+
+
 def matting_loss(pred_alpha: jax.Array, pred_fgr: jax.Array,
                  gt_alpha: jax.Array, gt_fgr: Optional[jax.Array],
                  frames: jax.Array,
-                 temporal_axis: bool = True) -> tuple[jax.Array, Dict]:
+                 temporal_axis: bool = True,
+                 laplacian_weight: float = 0.0) -> tuple[jax.Array, Dict]:
     """Compute the composite matting loss.
 
     pred_alpha/gt_alpha: (T, N, H, W, 1); pred_fgr: (T, N, H, W, 3)
     gt_fgr: optional ground-truth foreground; when None the composition term
     uses gt_alpha-weighted frame reconstruction instead.
     frames: (T, N, H, W, 3) input RGB.
+    laplacian_weight: weight for the multi-scale Laplacian-pyramid alpha
+    term (0 disables it — it costs a pyramid fwd+bwd per step).
     Returns (scalar loss, dict of unweighted terms).
     """
     t, n, h, w, _ = pred_alpha.shape
@@ -59,5 +116,10 @@ def matting_loss(pred_alpha: jax.Array, pred_fgr: jax.Array,
         l_temp = jnp.zeros((), pa.dtype)
 
     total = l_alpha + l_grad + l_fgr + 5.0 * l_temp
-    return total, {"alpha": l_alpha, "grad": l_grad, "fgr": l_fgr,
-                   "temporal": l_temp}
+    terms = {"alpha": l_alpha, "grad": l_grad, "fgr": l_fgr,
+             "temporal": l_temp}
+    if laplacian_weight > 0.0:
+        l_lap = laplacian_pyramid_loss(pa, ga)
+        total = total + laplacian_weight * l_lap
+        terms["laplacian"] = l_lap
+    return total, terms

@@ -28,21 +28,33 @@ class RunMetrics:
     def __init__(self) -> None:
         self.frame_times: list[float] = []
         self.extra: Dict[str, Any] = {}
+        self._frames_per_obs = 1
         self._t0 = time.perf_counter()
 
     def record_frame(self, seconds: float) -> None:
         self.frame_times.append(seconds)
 
+    def record_chunk(self, seconds: float, k: int) -> None:
+        """One latency observation per K-frame dispatch (the chunked scan
+        path). Percentiles from chunk observations are per-DISPATCH, not
+        per-frame — summary() labels them so (dividing by K would fabricate
+        per-frame observations that were never made)."""
+        self.frame_times.append(seconds)
+        self._frames_per_obs = k
+
     def summary(self) -> Dict[str, Any]:
         out: Dict[str, Any] = dict(self.extra)
         if self.frame_times:
             t = np.array(self.frame_times)
+            k = self._frames_per_obs
             out.update(
-                frames=len(t),
-                fps=float(len(t) / t.sum()),
+                frames=len(t) * k,
+                fps=float(len(t) * k / t.sum()),
                 p50_ms=float(np.percentile(t, 50) * 1e3),
                 p99_ms=float(np.percentile(t, 99) * 1e3),
             )
+            if k > 1:
+                out["latency_granularity"] = f"per-{k}-frame-dispatch"
         out["wall_s"] = time.perf_counter() - self._t0
         return out
 
