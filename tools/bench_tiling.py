@@ -64,7 +64,11 @@ def main():
 
         def run(n):
             t0 = time.perf_counter()
-            np.asarray(chain(y0, n))
+            # D2H a dependent ~4 MB row band, not the full frame: the dev
+            # relay moves ~50 MB/s, so a full-frame fetch adds seconds of
+            # variance that buries the per-iteration signal (tiny fetches
+            # can stall instead — docs/PERFORMANCE.md).
+            np.asarray(chain(y0, n)[:, :128])
             return time.perf_counter() - t0
 
         run(2)  # compile + warm

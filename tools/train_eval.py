@@ -46,6 +46,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--s2d", type=int, default=2)
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--sizes", type=int, nargs="+", default=None,
+                    help="mixed-resolution training: round-robin over "
+                         "these sizes (one compiled step per size; the "
+                         "round-1 mixed-res trick gave 3x better off-res "
+                         "MAD)")
     ap.add_argument("--clip-len", type=int, default=4)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--steps", type=int, default=4000)
@@ -53,6 +58,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-from", default=None,
+                    help="checkpoint to fine-tune from")
+    ap.add_argument("--laplacian", type=float, default=0.0,
+                    help="Laplacian-pyramid alpha loss weight")
     ap.add_argument("--out", default="checkpoints/fast_demo")
     args = ap.parse_args()
 
@@ -68,18 +77,32 @@ def main():
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup, args.steps, end_value=args.lr * 1e-2)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
-    step_fn = make_train_step(cfg, optimizer=opt)
+    step_fn = make_train_step(cfg, optimizer=opt,
+                              laplacian_weight=args.laplacian)
 
     variables = init_params(cfg, seed=args.seed,
                             height=args.size, width=args.size)
+    if args.init_from:
+        from vidmat.models.weights import load_checkpoint
+
+        variables = load_checkpoint(os.path.abspath(args.init_from),
+                                    template=variables)
     state = TrainState(variables=variables, opt_state=opt.init(
         variables["params"]), step=0)
-    data = synthetic_clip_batches(t=args.clip_len, n=args.batch,
-                                  h=args.size, w=args.size, seed=args.seed)
+    sizes = args.sizes or [args.size]
+    iters = [synthetic_clip_batches(t=args.clip_len, n=args.batch,
+                                    h=s, w=s, seed=args.seed + 31 * k)
+             for k, s in enumerate(sizes)]
+
+    def data():
+        i = 0
+        while True:
+            yield next(iters[i % len(iters)])  # round-robin over sizes
+            i += 1
 
     best = float("inf")
     t0 = time.time()
-    for i, (clips, gt_a, gt_f) in enumerate(data):
+    for i, (clips, gt_a, gt_f) in enumerate(data()):
         if i >= args.steps:
             break
         state, metrics = step_fn(state, clips, gt_a, gt_f)

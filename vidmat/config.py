@@ -125,23 +125,28 @@ def preset_clip_480p() -> tuple[ModelConfig, PipelineConfig]:
 
 
 def preset_video_1080p() -> tuple[ModelConfig, PipelineConfig]:
-    """1080p recurrent + guided-filter refinement (BASELINE.json:9)."""
-    return ModelConfig(), PipelineConfig(
+    """1080p recurrent + guided-filter refinement (BASELINE.json:9).
+
+    conv_impl="planar": the planar Pallas forward (quality-neutral — it
+    executes the same variables, parity-pinned) wins on the batch-1 TPU
+    serving path and is ignored on other backends/batch sizes."""
+    return ModelConfig(conv_impl="planar"), PipelineConfig(
         downsample_ratio=0.25, chunk_size=4,
         refine=RefineConfig(mode="guided"))
 
 
 def preset_video_4k() -> tuple[ModelConfig, PipelineConfig]:
     """4K tiled inference with overlap blending (BASELINE.json:10)."""
-    return ModelConfig(), PipelineConfig(
+    return ModelConfig(conv_impl="planar"), PipelineConfig(
         downsample_ratio=0.125, chunk_size=1,
         refine=RefineConfig(mode="guided"), tile_size=1024, tile_overlap=128)
 
 
 def preset_multistream() -> tuple[ModelConfig, PipelineConfig, StreamConfig]:
-    """8 concurrent 1080p streams (BASELINE.json:11)."""
-    m, p = preset_video_1080p()
-    return m, p, StreamConfig()
+    """8 concurrent 1080p streams (BASELINE.json:11). The batched stream
+    step keeps XLA convs (the planar kernels are batch-1)."""
+    _, p = preset_video_1080p()
+    return ModelConfig(), p, StreamConfig()
 
 
 PRESETS = {
