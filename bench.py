@@ -108,6 +108,13 @@ def main() -> None:
     ap.add_argument("--net", default="planar", choices=["planar", "xla"],
                     help="conv execution path (ModelConfig.conv_impl); "
                          "planar = the Pallas planar-kernel forward")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="frames per dispatch: K>1 jits a K-frame "
+                         "lax.scan over the serving body (the pipeline's "
+                         "chunk_size path), amortizing the per-call "
+                         "dispatch floor (~1 ms on the dev tunnel). "
+                         "Default: the ladder preset's chunk_size "
+                         "(1080p/480p chunked, 4K/multistream per-frame)")
     args, _ = ap.parse_known_args()
     mode = "quick" if args.quick and args.mode != "e2e" else args.mode
 
@@ -158,7 +165,24 @@ def main() -> None:
     body, plan = build_serving_body(
         net, cfg, RefineConfig(), h, w, ratio, cdtype=cdtype, bg=None,
         refine_at_full=True)
-    step = jax.jit(body)
+    # Default frames-per-dispatch follows the ladder preset's chunk_size
+    # (config.py PRESETS): the headline number measures the config users
+    # actually get. 4K keeps chunk=1 (tile batch already fills the chip);
+    # multistream keeps chunk=1 (the serve loop gathers live streams).
+    preset_chunk = {"1080p": 4, "480p": 10}.get(mode, 1)
+    chunk = max(1, args.chunk if args.chunk is not None else preset_chunk)
+    if chunk == 1:
+        step = jax.jit(body)
+    else:
+        # K-frame dispatch: identical to the pipeline's chunk_size path
+        # (vidmat.pipeline.scan) — one jitted lax.scan call per K frames.
+        @jax.jit
+        def step(variables, frames, st):
+            def sbody(s, f):
+                outs, ns = body(variables, f, s)
+                return ns, outs
+            ns, outs = jax.lax.scan(sbody, st, frames)
+            return outs, ns
 
     # Device-resident frame ring: measures chip throughput (fps/chip). In
     # production, decode + H2D run on host threads and overlap with device
@@ -167,7 +191,9 @@ def main() -> None:
     # latency that no real deployment would see, so it is excluded from the
     # chip-throughput metric (measured separately by --mode=e2e).
     rng = np.random.RandomState(0)
-    ring = [jax.device_put(rng.randint(0, 255, (batch, h, w, 3), np.uint8))
+    fshape = ((batch, h, w, 3) if chunk == 1
+              else (chunk, batch, h, w, 3))
+    ring = [jax.device_put(rng.randint(0, 255, fshape, np.uint8))
             for _ in range(4)]
 
     state0 = plan.make_state(batch)
@@ -178,24 +204,33 @@ def main() -> None:
         state = state0
         out = None
         t0 = time.perf_counter()
-        for i in range(n_frames):
+        for i in range(n_frames // chunk):
             outs, state = step(variables, ring[i % 4], state)
             out = outs if not isinstance(outs, tuple) else outs[0]
-        np.asarray(out)
+        np.asarray(out if chunk == 1 else out[-1])
         jax.block_until_ready(state)
         return time.perf_counter() - t0
 
-    run_chain(5)  # compile + tunnel warmup
+    run_chain(5 * chunk)  # compile + tunnel warmup
     # Amortized timing: (T_long - T_short) removes the fixed sync/dispatch
-    # overhead of the tunnel, which has high variance; median of 5 repeats,
-    # min/max reported so the spread is visible in the JSON itself.
-    n_short, n_long = frames_timed // 6, frames_timed
+    # overhead of the tunnel, which has high variance; median of repeats,
+    # min/max reported so the spread is visible in the JSON itself. Tunnel
+    # jitter can make a single (T_long - T_short) non-positive — such
+    # samples carry no signal and are dropped (n_dropped reported).
+    # Chunked dispatch amortizes the per-call floor, which makes each call
+    # cheaper but the per-run relay jitter relatively larger — use a 2x
+    # longer chain so the difference integrates over more device work.
+    n_timed = frames_timed * (2 if chunk > 1 else 1)
+    n_short = max(1, n_timed // (6 * chunk)) * chunk
+    n_long = max(2, n_timed // chunk) * chunk
     per_frame = []
-    for _ in range(5):  # tunnel latency varies run-to-run; median of 5
+    for _ in range(9):  # tunnel latency varies run-to-run; median of valid
         t_short = run_chain(n_short)
         t_long = run_chain(n_long)
         per_frame.append((t_long - t_short) / (n_long - n_short))
-    spf = float(np.median(per_frame))
+    valid = [p for p in per_frame if p > 0] or per_frame
+    spf = float(np.median(valid))
+    n_dropped = len(per_frame) - len(valid)
     fps = batch / spf
     p50_ms = spf * 1e3
     device = str(jax.devices()[0])
@@ -208,14 +243,20 @@ def main() -> None:
         "unit": "fps/chip",
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "p50_ms": round(p50_ms, 2),
-        "fps_min": round(batch / max(per_frame), 2),
-        "fps_max": round(batch / min(per_frame), 2),
+        "fps_min": round(batch / max(valid), 2),
+        "fps_max": round(batch / min(valid), 2),
+        "n_dropped_samples": n_dropped,
         "device": device,
         "resolution": f"{w}x{h}" + (f" x{batch} streams" if batch > 1 else ""),
         "downsample_ratio": ratio,
         "dtype": "bfloat16",
         "conv_impl": conv_impl,
     }
+    if chunk > 1:
+        result["chunk"] = chunk
+        # p50 is the amortized per-frame cost; one dispatch covers K
+        # frames, so per-frame latency is not individually observed.
+        result["latency_granularity"] = f"per-{chunk}-frame-dispatch"
     print(json.dumps(result))
 
 
