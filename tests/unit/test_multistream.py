@@ -71,3 +71,65 @@ def test_multistream_serve_stream_end():
     # stream 0 delivered all 6 frames; stream 1 stopped at 3
     assert len([1 for i, n in got if i == 0]) == 6
     assert len([1 for i, n in got if i == 1]) == 3
+
+
+def test_multistream_chunked_matches_per_frame():
+    """chunk=K dispatch (K-frame lax.scan) must produce bit-identical
+    mattes and final state to K per-frame dispatches (same serving body)."""
+    cfg = ModelConfig()
+    h = w = 48
+    ms1 = MultiStreamMatting(2, h, w, cfg=cfg, dtype="float32")
+    msk = MultiStreamMatting(2, h, w, cfg=cfg, variables=ms1.variables,
+                             dtype="float32", chunk=3)
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 255, (3, 2, h, w, 3), np.uint8)
+    reset = np.zeros((3, 2), bool)
+    reset[1, 0] = True  # mid-chunk scene cut on stream 0
+
+    a_seq = [ms1.step(frames[t], reset[t])[0] for t in range(3)]
+    a_chunk, _ = msk.step(frames, reset)
+    for t in range(3):
+        np.testing.assert_array_equal(a_chunk[t], a_seq[t])
+    ref_state = jax.tree_util.tree_map(np.asarray, ms1.state)
+    chunk_state = jax.tree_util.tree_map(np.asarray, msk.state)
+    for r, c in zip(jax.tree_util.tree_leaves(ref_state),
+                    jax.tree_util.tree_leaves(chunk_state)):
+        np.testing.assert_array_equal(r, c)
+
+
+def test_multistream_chunked_serve_tail_and_stream_end():
+    """serve() with chunk>1: a stream ending mid-chunk and a max_frames
+    boundary not divisible by chunk must both drain per-frame (no filler
+    frames, no spurious resets); outputs must match the chunk=1 serve."""
+    cfg = ModelConfig()
+    h, w = 48, 64
+    ms1 = MultiStreamMatting(2, h, w, cfg=cfg, dtype="float32")
+    msk = MultiStreamMatting(2, h, w, cfg=cfg, variables=ms1.variables,
+                             dtype="float32", chunk=4)
+
+    def srcs():
+        return [list(synthetic_frames_only(h, w, 7)),
+                list(synthetic_frames_only(h, w, 5, seed=2))]
+
+    got1, gotk = {}, {}
+    ms1.serve(srcs(), on_output=lambda i, n, a, o: got1.__setitem__((i, n), a))
+    summary = msk.serve(srcs(),
+                        on_output=lambda i, n, a, o: gotk.__setitem__((i, n), a))
+    assert set(got1) == set(gotk)
+    assert len([k for k in gotk if k[0] == 0]) == 7
+    assert len([k for k in gotk if k[0] == 1]) == 5
+    assert summary["latency_granularity"] == "per-4-round-dispatch"
+    for k in got1:
+        np.testing.assert_array_equal(got1[k], gotk[k])
+
+    # max_frames cuts mid-chunk: 3 of chunk 4 -> per-frame tail, and a
+    # subsequent serve continues cleanly.
+    msk2 = MultiStreamMatting(2, h, w, cfg=cfg, variables=ms1.variables,
+                              dtype="float32", chunk=4)
+    got = []
+    s = msk2.serve([list(synthetic_frames_only(h, w, 8)),
+                    list(synthetic_frames_only(h, w, 8, seed=2))],
+                   on_output=lambda i, n, a, o: got.append((i, n)),
+                   max_frames=3)
+    assert s["batch_steps"] == 3
+    assert len(got) == 6

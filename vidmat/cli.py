@@ -59,6 +59,10 @@ def _add_multistream(sub):
     p.add_argument("--checkpoint")
     p.add_argument("--height", type=int, default=1088)
     p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--chunk", type=int, default=1,
+                   help="frames per stream per dispatch (throughput mode: "
+                        "K>1 amortizes dispatch overhead at K-frame "
+                        "output latency)")
 
 
 def _add_train(sub):
@@ -155,7 +159,8 @@ def main(argv=None) -> int:
                     f[:args.height, :args.width], 16)[0]
 
         ms = MultiStreamMatting(len(readers), h, w, variables=variables,
-                                downsample_ratio=args.downsample_ratio)
+                                downsample_ratio=args.downsample_ratio,
+                                chunk=args.chunk)
         os.makedirs(args.output_dir, exist_ok=True)
         writers = [VideoWriter(os.path.join(args.output_dir,
                                             f"alpha_{i:02d}.mp4"),

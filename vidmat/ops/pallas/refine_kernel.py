@@ -131,8 +131,22 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
         bg_in = jnp.concatenate([jnp.asarray(bg, jnp.float32),
                                  jnp.ones((1,), jnp.float32)])[None]
 
+    # Row-tile height: start at 64 and shrink until the kernel's scoped
+    # VMEM fits. The resident set per program is the (wl, w) column-upsample
+    # matrix U (~wl*w*4 B, th-independent), both coefficient grids, and the
+    # th-proportional tiles/temps (frame u8, packed out u32, and ~4 f32
+    # full-width temps: alpha/fgr/word/rows). At 4K (w=3840, wl=480) a
+    # th=64 tile totals ~16.06 MB — 64 KB over the 16 MB scoped limit —
+    # so this sizing is load-bearing, not paranoia.
+    # Estimate calibrated against the compiler's report at 4K/th=64
+    # (16.06 MB): ~18 B per output pixel of th-dependent allocation
+    # (u8 frame + u32 out + live f32 temps).
+    wl_pad = -(-wl // 128) * 128
+    fixed = wl * w * 4 + 2 * 4 * hl * wl_pad * 4
     th = 64
     while h % th:
+        th //= 2
+    while th > 8 and fixed + th * w * 18 > 15 * 2**20:
         th //= 2
     kernel = functools.partial(_refine_kernel, pool=pool, th=th,
                                bg_mode=bg_mode)

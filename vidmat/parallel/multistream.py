@@ -43,7 +43,8 @@ class MultiStreamMatting:
                  downsample_ratio: float = 1.0,
                  refine: RefineConfig = RefineConfig(),
                  dtype: str = "bfloat16",
-                 bg_color: Optional[Tuple[float, float, float]] = None):
+                 bg_color: Optional[Tuple[float, float, float]] = None,
+                 chunk: int = 1):
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16")
         self.s = num_streams
@@ -73,7 +74,7 @@ class MultiStreamMatting:
         self._state_hw = (plan.state_h, plan.state_w)
         self._packed = plan.packed
 
-        def step(variables, frames_u8, state, reset_mask):
+        def frame_step(variables, frames_u8, state, reset_mask):
             # masked per-stream state reset (scene cut / stream restart)
             keep = (1.0 - reset_mask.astype(cdtype)).reshape(-1, 1, 1, 1)
             state = jax.tree_util.tree_map(lambda h: h * keep, state)
@@ -86,18 +87,48 @@ class MultiStreamMatting:
             out = rgba if bg is not None else fgr_u8
             return alpha_u8, out, new_state
 
+        self.chunk = max(1, chunk)
+        if self.chunk == 1:
+            step = frame_step
+        else:
+            # Throughput mode: K frames per stream per dispatch via
+            # lax.scan — amortizes the per-call dispatch floor K-fold at
+            # the cost of K-frame output latency (the caller opts in;
+            # serve() reports latency_granularity accordingly).
+            def step(variables, frames_u8, state, reset_mask):
+                def sbody(s, fr):
+                    f, r = fr
+                    a, o, ns = frame_step(variables, f, s, r)
+                    return ns, (a, o)
+                new_state, (alpha, out) = jax.lax.scan(
+                    sbody, state, (frames_u8, reset_mask))
+                return alpha, out, new_state
+
         if mesh is not None:
             stream_ax = mesh.axis_names[0]
             shard = NamedSharding(mesh, P(stream_ax))
             self._sharding = shard
-            self._step = jax.jit(
-                step,
-                in_shardings=(None, shard, shard, shard),
-                out_shardings=(shard, shard, shard),
-            )
+            # _step1: per-frame dispatch (also serves partial tail chunks
+            # in chunked mode — compiled lazily on first use).
+            self._step1 = jax.jit(frame_step,
+                                  in_shardings=(None, shard, shard, shard),
+                                  out_shardings=(shard, shard, shard))
+            if self.chunk == 1:
+                self._step = self._step1
+                self._frame_sharding = shard
+            else:
+                # Chunked inputs/outputs carry a leading time axis; the
+                # stream axis (sharded) is axis 1.
+                tshard = NamedSharding(mesh, P(None, stream_ax))
+                self._step = jax.jit(
+                    step, in_shardings=(None, tshard, shard, tshard),
+                    out_shardings=(tshard, tshard, shard))
+                self._frame_sharding = tshard
         else:
             self._sharding = None
-            self._step = jax.jit(step)
+            self._frame_sharding = None
+            self._step1 = jax.jit(frame_step)
+            self._step = self._step1 if self.chunk == 1 else jax.jit(step)
         self.mesh = mesh
         self.state = plan.make_state(num_streams)
         if self._sharding is not None:
@@ -106,12 +137,20 @@ class MultiStreamMatting:
     def step(self, frames_u8: np.ndarray,
              reset_mask: Optional[np.ndarray] = None
              ) -> Tuple[np.ndarray, np.ndarray]:
+        """One dispatch. chunk=1: frames (S, H, W, 3), reset (S,).
+        chunk=K: frames (K, S, H, W, 3), reset (K, S); outputs carry the
+        matching leading K axis."""
         if reset_mask is None:
-            reset_mask = np.zeros((self.s,), bool)
+            shape = (self.s,) if self.chunk == 1 else (self.chunk, self.s)
+            reset_mask = np.zeros(shape, bool)
+        return self._dispatch(self._step, self._frame_sharding,
+                              frames_u8, reset_mask)
+
+    def _dispatch(self, step_fn, sharding, frames_u8, reset_mask):
         f = jnp.asarray(frames_u8)
-        if self._sharding is not None:
-            f = jax.device_put(f, self._sharding)
-        alpha_u8, out_u8, self.state = self._step(
+        if sharding is not None:
+            f = jax.device_put(f, sharding)
+        alpha_u8, out_u8, self.state = step_fn(
             self.variables, f, self.state, jnp.asarray(reset_mask))
         if self._packed:
             # One packed-RGBA D2H for the whole batch; zero-copy host split.
@@ -157,7 +196,14 @@ class MultiStreamMatting:
         alive = [True] * self.s
         n = 0
         import time
-        while any(alive) and (max_frames is None or n < max_frames):
+
+        # Native threaded pad+stack (C++ framestage) — the host-side
+        # batch-assembly hot path for S concurrent streams.
+        from vidmat.io.native import pad_stack
+
+        def gather_round():
+            """One (S,) round of frames + reset flags; returns None when
+            every stream is done and drained."""
             reset = np.zeros((self.s,), bool)
             for i in range(self.s):
                 if not alive[i]:
@@ -169,24 +215,55 @@ class MultiStreamMatting:
                 else:
                     last[i] = item
             if all(f is None for f in last):
-                break
-            # Native threaded pad+stack (C++ framestage) — the host-side
-            # batch-assembly hot path for S concurrent streams.
-            from vidmat.io.native import pad_stack
-
+                return None
             batch = pad_stack(
                 [f if f is not None else
                  np.zeros((self.h, self.w, 3), np.uint8) for f in last],
                 self.h, self.w)
+            return batch, reset, list(alive)
+
+        while any(alive) and (max_frames is None or n < max_frames):
+            # Gather up to `chunk` rounds; a full chunk goes through the
+            # scan step (one dispatch), a partial tail (stream ended or
+            # max_frames boundary mid-chunk) drains per-frame via _step1 —
+            # no filler frames, no spurious state resets.
+            want = self.chunk if max_frames is None else min(
+                self.chunk, max_frames - n)
+            rounds = []
+            while len(rounds) < want and any(alive):
+                r = gather_round()
+                if r is None:
+                    break
+                rounds.append(r)
+            if not rounds:
+                break
+            k = len(rounds)
             t0 = time.perf_counter()
-            alpha, out = self.step(batch, reset)
-            metrics.record_frame(time.perf_counter() - t0)
+            if self.chunk > 1 and k == self.chunk:
+                batch = np.stack([r[0] for r in rounds])
+                reset = np.stack([r[1] for r in rounds])
+                alpha, out = self.step(batch, reset)
+                per_round = [(alpha[j], out[j]) for j in range(k)]
+            else:
+                per_round = []
+                for b, rs, _ in rounds:
+                    a, o = self._dispatch(self._step1, self._sharding, b, rs)
+                    per_round.append((a, o))
+            dt = time.perf_counter() - t0
+            for _ in range(k):
+                metrics.record_frame(dt / k)
             if on_output is not None:
-                for i in range(self.s):
-                    if alive[i]:
-                        on_output(i, n, alpha[i], out[i])
-            n += 1
+                for j, (a_j, o_j) in enumerate(per_round):
+                    for i in range(self.s):
+                        if rounds[j][2][i]:
+                            on_output(i, n + j, a_j[i], o_j[i])
+            n += k
         summary = metrics.summary()
         summary["batch_steps"] = n
         summary["stream_fps"] = summary.get("fps", 0.0) * self.s
+        if self.chunk > 1:
+            # dt/k above is an amortized per-round cost, not an observed
+            # per-frame latency (same caveat as pipeline chunking).
+            summary["latency_granularity"] = (
+                f"per-{self.chunk}-round-dispatch")
         return summary
