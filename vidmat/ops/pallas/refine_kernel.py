@@ -35,14 +35,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _col_upsample_matrix(wl: int, w: int, pool: int):
-    """Banded bilinear column-upsample matrix U (wl, w): out = rows @ U.
+def _col_upsample_matrix(wl: int, wc: int, pool: int, c0):
+    """Banded bilinear column-upsample matrix U (wl, wc) for output columns
+    [c0, c0+wc): out_tile = rows @ U.
 
     Built from iota in-register per program; the matmul stays in VMEM so
     its FLOPs ride the MXU with zero HBM traffic (element-repeat along
     lanes is not expressible in Mosaic — pltpu.repeat is tile-repeat)."""
-    lrow = jax.lax.broadcasted_iota(jnp.int32, (wl, w), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (wl, w), 1)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (wl, wc), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (wl, wc), 1) + c0
     src = jnp.clip((j.astype(jnp.float32) + 0.5) / pool - 0.5, 0.0,
                    float(wl - 1))
     l = jnp.floor(src)
@@ -69,11 +70,12 @@ def _row_upsample_matrix(th: int, hl: int, pool: int, r0):
 def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
                    th: int, bg_mode: str = "color"):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     _, hl, wl = a_ref.shape
-    w = out_ref.shape[1]
+    wc = out_ref.shape[1]
 
     V = _row_upsample_matrix(th, hl, pool, i * th)
-    U = _col_upsample_matrix(wl, w, pool)
+    U = _col_upsample_matrix(wl, wc, pool, j * wc)
 
     def upsample(c_ref, c):
         lr = c_ref[c]  # (hl, wl)
@@ -131,29 +133,37 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
         bg_in = jnp.concatenate([jnp.asarray(bg, jnp.float32),
                                  jnp.ones((1,), jnp.float32)])[None]
 
-    # Row-tile height: start at 64 and shrink until the kernel's scoped
-    # VMEM fits. The resident set per program is the (wl, w) column-upsample
-    # matrix U (~wl*w*4 B, th-independent), both coefficient grids, and the
-    # th-proportional tiles/temps (frame u8, packed out u32, and ~4 f32
-    # full-width temps: alpha/fgr/word/rows). At 4K (w=3840, wl=480) a
-    # th=64 tile totals ~16.06 MB — 64 KB over the 16 MB scoped limit —
-    # so this sizing is load-bearing, not paranoia.
-    # Estimate calibrated against the compiler's report at 4K/th=64
-    # (16.06 MB): ~18 B per output pixel of th-dependent allocation
-    # (u8 frame + u32 out + live f32 temps).
+    # Tile sizing against the 16 MB scoped-VMEM limit. The per-program
+    # resident set: both coefficient grids (constant blocks, counted
+    # double-buffered — the compiler pipelines block fetches), the
+    # in-register (wl, wc) column-upsample matrix U, and ~24 B per output
+    # pixel of tile-proportional allocation (u8 frame + u32 out, both
+    # double-buffered, plus live f32 temps). A full-width 4K tile
+    # (w=3840) measured 16.06-18.66 MB — over the limit — so the grid
+    # tiles columns as well as rows; this also makes the kernel
+    # resolution-scalable (6K/8K grow the grid, not the tile).
     wl_pad = -(-wl // 128) * 128
-    fixed = wl * w * 4 + 2 * 4 * hl * wl_pad * 4
+    coeff_bytes = 2 * 2 * 4 * hl * wl_pad * 4
+
     th = 64
     while h % th:
         th //= 2
-    while th > 8 and fixed + th * w * 18 > 15 * 2**20:
+
+    def est(th_, wc_):
+        return coeff_bytes + wl * wc_ * 4 + th_ * wc_ * 24
+
+    budget = 13 * 2**20
+    cands = [d for d in range(w, 127, -128) if w % d == 0] or [w]
+    wc = next((d for d in cands if est(th, d) <= budget), cands[-1])
+    while th > 8 and est(th, wc) > budget:
         th //= 2
+
     kernel = functools.partial(_refine_kernel, pool=pool, th=th,
                                bg_mode=bg_mode)
-    bg_spec = (pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+    bg_spec = (pl.BlockSpec((3, th, wc), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
                if bg_mode == "image" else
-               pl.BlockSpec((1, 4), lambda i: (0, 0),
+               pl.BlockSpec((1, 4), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM))
 
     frame_p = jnp.transpose(frame_u8, (0, 3, 1, 2))
@@ -164,17 +174,17 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint32),
-            grid=(h // th,),
+            grid=(h // th, w // wc),
             in_specs=[
-                pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+                pl.BlockSpec((3, th, wc), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, hl, wl), lambda i: (0, 0, 0),
+                pl.BlockSpec((4, hl, wl), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, hl, wl), lambda i: (0, 0, 0),
+                pl.BlockSpec((4, hl, wl), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 bg_spec,
             ],
-            out_specs=pl.BlockSpec((th, w), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((th, wc), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(fr, ap, bp, bg_in)
