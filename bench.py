@@ -64,7 +64,7 @@ def _bench_e2e(jax, quick: bool) -> dict:
 
     h, w, n = (288, 512, 40) if quick else (1080, 1920, 120)
     frames = list(synthetic_frames_only(h, w, n))
-    cfg = ModelConfig(space_to_depth=2)
+    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
     pipe = PipelineConfig(downsample_ratio=0.25)
     pipeline = VideoPipeline(model_cfg=cfg, pipe_cfg=pipe)
     # Warm run compiles the step; the timed run reuses it via the pipeline
@@ -100,7 +100,6 @@ def _bench_e2e(jax, quick: bool) -> dict:
 
 
 def main() -> None:
-    _watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--mode", default="1080p",
@@ -116,6 +115,10 @@ def main() -> None:
                          "Default: the ladder preset's chunk_size "
                          "(1080p/480p chunked, 4K/multistream per-frame)")
     args, _ = ap.parse_known_args()
+    # e2e drives the full VideoPipeline (fresh step compiles + per-frame
+    # tunnel relay H2D at ~125 ms/frame) — it needs a longer leash than
+    # the device-ring modes (a 900s watchdog fired mid-compile once).
+    _watchdog(1700.0 if args.mode == "e2e" else 900.0)
     mode = "quick" if args.quick and args.mode != "e2e" else args.mode
 
     import jax
@@ -153,7 +156,9 @@ def main() -> None:
     # (small-channel activations are lane-padded to 128, so HBM traffic
     # scales with H*W, not C — docs/PERFORMANCE.md); random weights (the
     # throughput metric is weight-agnostic).
-    conv_impl = args.net if batch == 1 else "xla"  # planar is batch-1
+    # planar applies to the batched multistream rung too (vmapped planar
+    # forward — single-chip only; the GSPMD/mesh path keeps XLA convs).
+    conv_impl = args.net
     cfg = ModelConfig(space_to_depth=2, conv_impl=conv_impl)
     cdtype = jnp.bfloat16
     net = MattingNetwork(cfg, dtype=cdtype)  # true bf16 conv path

@@ -46,3 +46,36 @@ def test_planar_forward_matches_flax_s2d2():
     outs = _rollout(ModelConfig(space_to_depth=2), 64, 96)
     worst = max(max(o) for o in outs)
     assert worst <= TOL, f"per-frame (alpha, fgr) MADs: {outs}"
+
+
+def test_planar_batched_matches_per_frame():
+    """batch_planar_forward (vmapped planar path, the multi-stream serving
+    configuration) must be bit-identical to per-stream single-frame calls,
+    including the recurrent carry."""
+    from vidmat.models.planar import (batch_planar_forward,
+                                      planar_init_state_batched)
+
+    cfg = ModelConfig(space_to_depth=2)
+    h, w, b = 64, 96, 2
+    variables = randomize_bn_stats(init_params(cfg, seed=3), seed=4)
+    fwd = build_planar_forward(cfg, h, w, dtype=jnp.float32, interpret=True)
+    fb = batch_planar_forward(fwd)
+
+    rng = np.random.RandomState(11)
+    state_b = planar_init_state_batched(cfg, b, h, w, jnp.float32)
+    states_1 = [planar_init_state(cfg, h, w, jnp.float32) for _ in range(b)]
+    with jax.default_matmul_precision("float32"):
+        for _ in range(2):  # two steps: carry equality matters
+            frames = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+            a_b, f_b, state_b = fb(variables, frames, state_b)
+            for i in range(b):
+                a1, f1, states_1[i] = fwd(variables, frames[i:i + 1],
+                                          states_1[i])
+                np.testing.assert_array_equal(np.asarray(a_b[i]),
+                                              np.asarray(a1[0]))
+                np.testing.assert_array_equal(np.asarray(f_b[i]),
+                                              np.asarray(f1[0]))
+                for lb, l1 in zip(jax.tree_util.tree_leaves(state_b),
+                                  jax.tree_util.tree_leaves(states_1[i])):
+                    np.testing.assert_array_equal(np.asarray(lb[i]),
+                                                  np.asarray(l1))

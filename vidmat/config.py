@@ -143,10 +143,12 @@ def preset_video_4k() -> tuple[ModelConfig, PipelineConfig]:
 
 
 def preset_multistream() -> tuple[ModelConfig, PipelineConfig, StreamConfig]:
-    """8 concurrent 1080p streams (BASELINE.json:11). The batched stream
-    step keeps XLA convs (the planar kernels are batch-1)."""
-    _, p = preset_video_1080p()
-    return ModelConfig(), p, StreamConfig()
+    """8 concurrent 1080p streams (BASELINE.json:11). The planar forward
+    vmaps over the stream axis on the single-chip path (1709 -> 2651
+    aggregate fps measured, BASELINE.md); a sharded mesh falls back to
+    XLA convs (Pallas calls are not GSPMD-partitionable)."""
+    m, p = preset_video_1080p()
+    return m, p, StreamConfig()
 
 
 PRESETS = {

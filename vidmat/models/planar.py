@@ -157,6 +157,34 @@ def planar_init_state(cfg: ModelConfig, height: int, width: int,
                        h1=zeros(d[2] // 2, 2))
 
 
+def planar_init_state_batched(cfg: ModelConfig, batch: int, height: int,
+                              width: int, dtype=jnp.bfloat16) -> PlanarState:
+    """Zero planar carry with a leading batch/stream axis (multi-stream
+    serving: one state slot per stream, SURVEY.md §3.4)."""
+    one = planar_init_state(cfg, height, width, dtype)
+    return jax.tree_util.tree_map(
+        lambda z: jnp.zeros((batch,) + z.shape, z.dtype), one)
+
+
+def batch_planar_forward(forward):
+    """Lift a build_planar_forward single-frame forward to a batched one
+    via jax.vmap (the Pallas batching rule adds a leading grid dimension;
+    bit-exactness vs the per-frame loop is pinned in
+    tests/parity/test_planar_parity.py).
+
+    Batched contract: frames (B, H, W, C), state leaves (B, ...) ->
+    alpha/fgr (B, H, W, 1/3), new state (B, ...).
+    """
+    def fb(variables, frames, state):
+        def one(fr, st):
+            return forward(variables, fr[None], st)
+
+        alpha, fgr, ns = jax.vmap(one)(frames, state)
+        return alpha[:, 0], fgr[:, 0], ns
+
+    return fb
+
+
 def build_planar_forward(cfg: ModelConfig, height: int, width: int,
                          dtype=jnp.bfloat16, interpret: bool = False):
     """Build forward(variables, frame, state) -> (alpha, fgr, new_state)

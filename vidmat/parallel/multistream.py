@@ -75,9 +75,13 @@ class MultiStreamMatting:
         self._packed = plan.packed
 
         def frame_step(variables, frames_u8, state, reset_mask):
-            # masked per-stream state reset (scene cut / stream restart)
-            keep = (1.0 - reset_mask.astype(cdtype)).reshape(-1, 1, 1, 1)
-            state = jax.tree_util.tree_map(lambda h: h * keep, state)
+            # masked per-stream state reset (scene cut / stream restart);
+            # rank-agnostic: NHWC RecurrentState leaves are (S, h, w, c),
+            # planar-path leaves are (S, C, TOTAL)
+            keep = 1.0 - reset_mask.astype(cdtype)
+            state = jax.tree_util.tree_map(
+                lambda h: h * keep.reshape((-1,) + (1,) * (h.ndim - 1)),
+                state)
             outs, new_state = body(variables, frames_u8, state)
             if plan.packed:
                 # alpha rides the high byte; host unpacks the single packed

@@ -119,17 +119,27 @@ def build_serving_body(
 
     def net_apply(variables, xp, state):
         if planar_fwd is not None:
-            return planar_fwd(variables, xp, state)
+            if xp.shape[0] == 1:
+                return planar_fwd(variables, xp, state)
+            # Batched (multi-stream) planar serving: vmap over the stream
+            # axis — state leaves carry a leading stream dim
+            # (planar_init_state_batched).
+            from vidmat.models.planar import batch_planar_forward
+
+            return batch_planar_forward(planar_fwd)(variables, xp, state)
         return net.apply(variables, xp, state)
 
     def make_state(batch: int):
         if not model_cfg.recurrent:
             return None
         if use_planar:
-            from vidmat.models.planar import planar_init_state
+            from vidmat.models.planar import (planar_init_state,
+                                              planar_init_state_batched)
 
-            assert batch == 1, "planar path is batch-1 (serving)"
-            return planar_init_state(model_cfg, state_h, state_w, cdtype)
+            if batch == 1:
+                return planar_init_state(model_cfg, state_h, state_w, cdtype)
+            return planar_init_state_batched(model_cfg, batch, state_h,
+                                             state_w, cdtype)
         from vidmat.models.matting_net import init_state
 
         return init_state(model_cfg, batch, state_h, state_w, cdtype)
