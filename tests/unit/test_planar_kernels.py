@@ -149,3 +149,34 @@ def test_planar_gru_matches_flax_cell():
         interior_mask(h, w), conv3x3_taps(w), interpret=True)
     np.testing.assert_allclose(np.asarray(from_planar(got, h, w)), want,
                                atol=1e-5)
+
+
+def test_planar_conv2_matches_two_convs():
+    """Fused conv->affine->relu->conv (planar_conv2) must be bit-identical
+    to two chained planar_conv calls (the mid plane simply stays in VMEM)."""
+    from vidmat.ops.pallas.planar import planar_conv2
+
+    rng = np.random.RandomState(9)
+    h, w = 20, 36
+    c_in, c_mid, c_out = (5, 3), 6, 4
+    xs = [to_planar(jnp.asarray(rng.randn(1, h, w, c).astype(np.float32)))
+          for c in c_in]
+    k1 = rng.randn(3, 3, sum(c_in), c_mid).astype(np.float32) * 0.3
+    k2 = rng.randn(3, 3, c_mid, c_out).astype(np.float32) * 0.3
+    s1 = jnp.asarray(rng.rand(c_mid, 1).astype(np.float32) + 0.5)
+    b1 = jnp.asarray(rng.randn(c_mid, 1).astype(np.float32) * 0.1)
+    s2 = jnp.ones((c_out, 1), jnp.float32)
+    b2 = jnp.asarray(rng.randn(c_out, 1).astype(np.float32) * 0.1)
+    taps = conv3x3_taps(w)
+    mask = interior_mask(h, w)
+    ws = [conv_tap_weights(jnp.asarray(k1[:, :, :c_in[0]])),
+          conv_tap_weights(jnp.asarray(k1[:, :, c_in[0]:]))]
+    w2 = conv_tap_weights(jnp.asarray(k2))
+
+    mid = planar_conv(xs, ws, taps, s1, b1, mask, act="relu",
+                      interpret=True)
+    want = planar_conv([mid], [w2], taps, s2, b2, mask, act="none",
+                       interpret=True)
+    got = planar_conv2(xs, ws, taps, s1, b1, w2, taps, s2, b2, mask,
+                       act="relu", act2="none", interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -323,6 +323,11 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         hk = prm["head"]["kernel"]
         hb = prm["head"]["bias"].astype(jnp.float32)[:, None]
         ones = jnp.ones((hk.shape[3], 1), jnp.float32)
+        # d0 + head stay as two planar_conv calls: the fused alternative
+        # (planar_conv2) measured a WASH here — at the coarse serving grid
+        # the mid plane is only ~1.4 MB, and the fused kernel's 8-row mask
+        # ref reads back what the skipped round trip saves (cost_analysis:
+        # 182.8 vs 180.2 MB/frame; docs/PERFORMANCE.md round-2 note).
         out = conv3([x], 0, hk, ones, hb, (hk.shape[2],), act="none")
 
         og = plane_to_grid(out, *g[0]).astype(jnp.float32)

@@ -215,6 +215,109 @@ def planar_conv(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
     )(*xs, *ws, scale, bias, mask)
 
 
+def _conv2_kernel(*refs, taps, taps2, n_in, act, act2, block, halo, align):
+    """Fused two-conv chain: y = conv2(act(affine1(conv1(xs)))).
+
+    conv1 is evaluated on a halo-extended chunk (same pattern as the GRU's
+    gate conv) so conv2's taps read in-register values; the mid plane
+    never visits HBM. The mid value is masked with the interior mask
+    (sliced from the full (1, TOTAL) ref) before conv2 — conv2's taps
+    assume the zero-pad-ring invariant, exactly as if the mid plane had
+    been written out by planar_conv.
+    """
+    # refs: x_0..x_{n-1}, w_0..w_{n-1}, scale1, bias1, w2 (T2, C2, C_mid),
+    #       scale2, bias2, mask8 (8, TOTAL), mask (1, BLOCK) chunk,
+    #       out (C2, BLOCK)
+    xs = refs[:n_in]
+    ws = refs[n_in:2 * n_in]
+    (s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, maskf_ref, mask_ref,
+     out_ref) = refs[2 * n_in:]
+    i = pl.program_id(0)
+    margin = jnp.logical_or(i == 0, i == pl.num_programs(0) - 1)
+
+    @pl.when(margin)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(margin))
+    def _():
+        base = i * block
+        ext = block + 2 * halo
+        acc = None
+        for x_ref, w_ref in zip(xs, ws):
+            win = _load_window(x_ref, base, align, block)
+            part = _tap_accum(win, w_ref[...], taps, align, block,
+                              start=-halo, size=ext)
+            acc = part if acc is None else acc + part
+        mid = acc * s1_ref[...] + b1_ref[...]
+        if act == "relu":
+            mid = jnp.maximum(mid, 0.0)
+        # Interior mask over the extended positions [base-halo, base+
+        # block+halo): upholds the zero invariant the second conv relies
+        # on; cast to the plane dtype so the fused chain is bit-identical
+        # to two planar_conv calls. Mosaic cannot broadcast or slice a
+        # lane-offset 1-row vector, so the mask ref carries 8 sublane rows
+        # (mask8 on the host side); the misaligned ext slice and the
+        # channel tiling then touch only full-rank tensors — the same
+        # lowering pattern as the GRU's h_ext.
+        c_mid = mid.shape[0]
+        mwin8 = _load_window(maskf_ref, base, align, block)
+        mext8 = jax.lax.slice(mwin8, (0, align - halo),
+                              (8, align - halo + ext))
+        reps = -(-c_mid // 8)
+        mext = jnp.concatenate([mext8] * reps, axis=0)[:c_mid]
+        mid = (mid * mext).astype(xs[0].dtype)
+        out = (_tap_accum(mid, w2_ref[...], taps2, halo, block)
+               * s2_ref[...] + b2_ref[...])
+        if act2 == "relu":
+            out = jnp.maximum(out, 0.0)
+        out_ref[...] = (out * mask_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "taps2", "act",
+                                             "act2", "out_dtype",
+                                             "interpret"))
+def planar_conv2(xs: Sequence[jax.Array], ws: Sequence[jax.Array], taps,
+                 scale: jax.Array, bias: jax.Array, w2: jax.Array, taps2,
+                 scale2: jax.Array, bias2: jax.Array, mask: jax.Array,
+                 act: str = "relu", act2: str = "none", out_dtype=None,
+                 interpret: bool = False) -> jax.Array:
+    """Fused conv→affine→act→conv→affine[→act] over planar planes; both
+    convs share one grid pass and the intermediate plane stays in VMEM
+    (~2x the first conv's HBM traffic saved at full-res levels —
+    docs/PERFORMANCE.md round-2 planar breakdown).
+
+    Both tap structures must be stride-1 on the SAME grid (e.g. two 3x3
+    convs). Returns (C_out2, TOTAL)."""
+    xs = tuple(xs)
+    ws = tuple(ws)
+    c_out2 = w2.shape[1]
+    total = xs[0].shape[1]
+    assert total % BLOCK == 0 and mask.shape[1] == total
+    assert taps[0] == taps2[0], "both convs must run on the same grid"
+    out_dtype = out_dtype or xs[0].dtype
+    n_in = len(xs)
+    halo = taps_halo(taps2)
+    align = _align128(taps_halo(taps) + halo)
+    assert BLOCK >= align, (BLOCK, align)
+    kernel = functools.partial(_conv2_kernel, taps=taps, taps2=taps2,
+                               n_in=n_in, act=act, act2=act2, block=BLOCK,
+                               halo=halo, align=align)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    chunk = pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    mask8 = jnp.broadcast_to(mask, (8, total))  # see _conv2_kernel mask note
+    return pl.pallas_call(
+        kernel,
+        grid=(total // BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((c_out2, total), out_dtype),
+        in_specs=[full] * (2 * n_in + 5) + [full, chunk],
+        out_specs=pl.BlockSpec((c_out2, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*xs, *ws, scale, bias, w2, scale2, bias2, mask8, mask)
+
+
 def _gru_kernel(x_ref, h_ref, wgx_ref, wgh_ref, bg_ref, wcx_ref, wch_ref,
                 bc_ref, mask_ref, out_ref, *, taps, features, block,
                 halo, align):
