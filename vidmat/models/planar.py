@@ -106,12 +106,42 @@ def d2s_grid(g: jax.Array, r: int) -> jax.Array:
     return out.astype(g.dtype)
 
 
+def _bilinear_up_mat(n: int, dtype) -> jax.Array:
+    """(2n, n) half-pixel bilinear 2x upsample matrix (same sampling as
+    jax.image.resize bilinear, antialias=False)."""
+    rows = jnp.arange(2 * n)
+    src = jnp.clip((rows.astype(jnp.float32) + 0.5) / 2.0 - 0.5, 0.0,
+                   float(n - 1))
+    l = jnp.floor(src)
+    fr = src - l
+    li = l.astype(jnp.int32)
+    cols = jnp.arange(n)
+    m = (jnp.where(cols[None, :] == li[:, None], 1.0 - fr[:, None], 0.0)
+         + jnp.where(cols[None, :] == li[:, None] + 1, fr[:, None], 0.0))
+    return m.astype(dtype)
+
+
 def upsample2x_grid(g: jax.Array) -> jax.Array:
     """2x bilinear (half-pixel centers) on a planar grid — identical
-    sampling to ops.resize.upsample2x (NHWC) per channel."""
+    sampling to ops.resize.upsample2x (NHWC) per channel.
+
+    Implemented as two banded matmuls in the PLANE dtype with f32
+    accumulation: jax.image.resize lowers to the same einsum but with f32
+    intermediates — 22.9 MB vs 5.2 MB for this form at the 40ch 72x120
+    decoder site in ISOLATION (cost_analysis). In the full serving step
+    XLA fusion already absorbs most of those intermediates, so the
+    in-context saving is modest (180.2 -> 177.7 MB/frame; docs/
+    PERFORMANCE.md round-2 — recorded so the isolated number is not
+    mistaken for a step-level win). bf16 serving pays one intermediate
+    rounding (<=0.008 abs on [0,1]-scale activations); the f32 test dtype
+    keeps full precision."""
     c, h, w = g.shape
-    return jax.image.resize(g, (c, h * 2, w * 2), method="bilinear",
-                            antialias=False)
+    R = _bilinear_up_mat(h, g.dtype)
+    C = _bilinear_up_mat(w, g.dtype)
+    t = jnp.einsum("Hh,chw->cHw", R, g,
+                   preferred_element_type=jnp.float32).astype(g.dtype)
+    return jnp.einsum("chw,Ww->chW", t, C,
+                      preferred_element_type=jnp.float32).astype(g.dtype)
 
 
 def stride2_tap_weights_jnp(kernel: jax.Array, c_in: int, dtype
