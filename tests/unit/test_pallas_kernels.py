@@ -137,3 +137,29 @@ def test_planar_conv_prototype_matches_oracle():
     ref = np.maximum(np.asarray(ref) * sc[:, None, None]
                      + bi[:, None, None], 0)
     assert np.abs(got - ref).max() < 1e-4
+
+
+def test_refine_tile_sizing():
+    """pick_refine_tiles must return dividing tile sizes that fit the
+    scoped-VMEM budget at every ladder shape (the 4K full-width tile
+    measured 16.06-18.66 MB against a 16 MB limit — compiler-reported);
+    refine_tiles_fit must reject coefficient grids no tiling can hold
+    (stepfactory falls back to the unfused guided path there)."""
+    from vidmat.ops.pallas.refine_kernel import (pick_refine_tiles,
+                                                 refine_tiles_fit)
+
+    for h, w, hl, wl in [(1088, 1920, 272, 480),   # 1080p ds=0.25
+                         (2176, 3840, 272, 480),   # 4K ds=0.125
+                         (4352, 7680, 272, 480),   # 8K ds=0.0625
+                         (128, 128, 32, 32)]:      # unit-test shapes
+        th, wc = pick_refine_tiles(h, w, hl, wl)
+        assert h % th == 0 and w % wc == 0, (h, w, th, wc)
+        assert refine_tiles_fit(h, w, hl, wl), (h, w, th, wc)
+        wl_pad = -(-wl // 128) * 128
+        est = (2 * 2 * 4 * hl * wl_pad * 4 + wl * wc * 4 + th * wc * 24)
+        assert est <= 13 * 2**20, (h, w, th, wc, est)
+
+    # Coeff grids that cannot fit regardless of tiling: the fused path
+    # must be rejected, not compiled into a scoped-VMEM failure.
+    assert not refine_tiles_fit(2176, 3840, 1088, 1920)  # pool=2 at 4K
+    assert not refine_tiles_fit(960, 1728, 480, 864)     # pool=2, huge wl

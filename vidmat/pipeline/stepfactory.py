@@ -101,9 +101,15 @@ def build_serving_body(
     pad_nw = -net_w % mult
     # Fully fused tail (GF coeffs at coarse res + one-pass refine/composite
     # kernel): packed pallas path with an integer pool, guided refinement,
-    # and no tiling.
+    # no tiling, and a coefficient grid that fits scoped VMEM (a small
+    # pool at a large resolution, e.g. pool=2 at 4K, cannot — the kernel
+    # holds both coeff grids resident; refine_kernel.refine_tiles_fit).
     use_fused = (use_packed and pool > 1 and refine.mode == "guided"
                  and not tile_size)
+    if use_fused:
+        from vidmat.ops.pallas.refine_kernel import refine_tiles_fit
+
+        use_fused = refine_tiles_fit(h, w, net_h, net_w)
 
     # Planar Pallas conv path (models/planar.py): the whole net runs in
     # flattened planar layout — small-channel activations never touch
