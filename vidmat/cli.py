@@ -57,6 +57,9 @@ def _add_multistream(sub):
     p.add_argument("--output-dir", required=True)
     p.add_argument("--downsample-ratio", type=float, default=0.25)
     p.add_argument("--checkpoint")
+    p.add_argument("--preset", choices=["multistream"], default=None,
+                   help="use the multistream ladder preset (planar conv "
+                        "path on the single-chip TPU serving step)")
     p.add_argument("--height", type=int, default=1088)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--chunk", type=int, default=1,
@@ -158,9 +161,17 @@ def main(argv=None) -> int:
                 yield pad_to_multiple(
                     f[:args.height, :args.width], 16)[0]
 
+        ms_cfg = {}
+        if args.preset:
+            from vidmat.config import PRESETS
+
+            mcfg, pcfg, _ = PRESETS[args.preset]()
+            ms_cfg = dict(cfg=mcfg,
+                          downsample_ratio=pcfg.downsample_ratio,
+                          refine=pcfg.refine)
+        ms_cfg.setdefault("downsample_ratio", args.downsample_ratio)
         ms = MultiStreamMatting(len(readers), h, w, variables=variables,
-                                downsample_ratio=args.downsample_ratio,
-                                chunk=args.chunk)
+                                chunk=args.chunk, **ms_cfg)
         os.makedirs(args.output_dir, exist_ok=True)
         writers = [VideoWriter(os.path.join(args.output_dir,
                                             f"alpha_{i:02d}.mp4"),
