@@ -11,7 +11,8 @@ The line also carries fps_min/fps_max across the timing repeats so the
 number is self-describing about run-to-run spread (VERDICT r1 item 10).
 
 Modes (--mode=...):
-  1080p (default), 4k, multistream, 480p — device-resident frame ring,
+  1080p (default), 4k, 4k_tiled, multistream, 480p — device-resident
+    frame ring,
     measures chip throughput with the real serving step (ingest -> recurrent
     net -> guided refine -> composite; the shared body from
     vidmat.pipeline.stepfactory, identical to what convert_video jits).
@@ -103,7 +104,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--mode", default="1080p",
-                    choices=["1080p", "4k", "multistream", "480p", "e2e"])
+                    choices=["1080p", "4k", "4k_tiled", "multistream",
+                             "480p", "e2e"])
     ap.add_argument("--net", default="planar", choices=["planar", "xla"],
                     help="conv execution path (ModelConfig.conv_impl); "
                          "planar = the Pallas planar-kernel forward")
@@ -142,7 +144,7 @@ def main() -> None:
     batch = 1
     if mode == "quick":
         h, w, ratio, frames_timed = 288, 512, 0.5, 60
-    elif mode == "4k":
+    elif mode in ("4k", "4k_tiled"):
         h, w, ratio, frames_timed = 2176, 3840, 0.125, 120
     elif mode == "480p":
         h, w, ratio, frames_timed = 480, 864, 1.0, 240
@@ -167,9 +169,14 @@ def main() -> None:
     # Shared serving body — the SAME code convert_video jits (stepfactory).
     # refine_at_full keeps the 480p full-res rung running an edge-aware
     # guided pass (its historical workload) instead of skipping refinement.
+    # 4k_tiled measures the video_4k PRESET's actual refine path (tiled
+    # full-res guided refinement with feathered overlap blending,
+    # BASELINE.json:10) rather than the fused coarse tail.
+    tile_kw = (dict(tile_size=1024, tile_overlap=128)
+               if mode == "4k_tiled" else {})
     body, plan = build_serving_body(
         net, cfg, RefineConfig(), h, w, ratio, cdtype=cdtype, bg=None,
-        refine_at_full=True)
+        refine_at_full=True, **tile_kw)
     # Default frames-per-dispatch follows the ladder preset's chunk_size
     # (config.py PRESETS): the headline number measures the config users
     # actually get. 4K keeps chunk=1 (tile batch already fills the chip);
@@ -250,7 +257,8 @@ def main() -> None:
     fps = batch / spf
     p50_ms = spf * 1e3
     device = str(jax.devices()[0])
-    label = {"quick": "480p-quick", "4k": "4K tiled-coarse",
+    label = {"quick": "480p-quick", "4k": "4K coarse+fused-refine",
+             "4k_tiled": "4K tiled full-res refine",
              "480p": "480p", "multistream": "8-stream 1080p",
              "1080p": "1080p"}[mode]
     result = {
