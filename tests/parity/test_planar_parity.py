@@ -79,3 +79,28 @@ def test_planar_batched_matches_per_frame():
                                   jax.tree_util.tree_leaves(states_1[i])):
                     np.testing.assert_array_equal(np.asarray(lb[i]),
                                                   np.asarray(l1))
+
+
+def test_planar_bf16_serving_quality_neutral():
+    """The serving presets switch conv_impl to planar claiming quality
+    neutrality; check it in the SERVING dtype (bf16): planar and Flax
+    forwards on the same variables must agree to within bf16 rounding
+    over a short recurrent rollout."""
+    cfg = ModelConfig(space_to_depth=2)
+    h, w = 64, 96
+    variables = randomize_bn_stats(init_params(cfg, seed=5), seed=6)
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    fwd = build_planar_forward(cfg, h, w, dtype=jnp.bfloat16,
+                               interpret=True)
+    state_ref = init_state(cfg, 1, h, w, jnp.bfloat16)
+    state_pl = planar_init_state(cfg, h, w, jnp.bfloat16)
+    worst = 0.0
+    for f, _ in synthetic_clip(h, w, 3, seed=13):
+        x = jnp.asarray(f.astype(np.float32) / 255.0)[None]
+        a_ref, f_ref, state_ref = net.apply(variables, x, state_ref)
+        a_pl, f_pl, state_pl = fwd(variables, x, state_pl)
+        worst = max(worst, mad(a_ref, a_pl), mad(f_ref, f_pl))
+    # bf16 has ~3 decimal digits; the two paths reassociate differently
+    # (folded BN, tap-sum order, matmul upsample), so agreement is to
+    # rounding, not bit-exact.
+    assert worst <= 2e-2, worst
