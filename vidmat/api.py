@@ -38,6 +38,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   output_composition: Optional[str] = None,
                   bg_color: Tuple[float, float, float] = (0.0, 1.0, 0.0),
                   bg_image: Optional[Union[str, np.ndarray]] = None,
+                  bg_video: Optional[Union[str, object]] = None,
                   downsample_ratio: Optional[float] = None,
                   variables=None,
                   model_cfg: Optional[ModelConfig] = None,
@@ -53,6 +54,10 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
     bg_image: background replacement image for the composition output —
         path or (H, W, 3) array; blended per-pixel on device (takes
         precedence over bg_color).
+    bg_video: PER-FRAME background replacement — a video path or frame
+        iterable consumed in lockstep with the input (looped if shorter);
+        takes precedence over bg_image. No recompiles on background
+        change (traced step argument).
     downsample_ratio: coarse-pass scale; None = auto from resolution
         (BASELINE.json:10).
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
@@ -66,6 +71,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         downsample_ratio=downsample_ratio,
         bg_color=bg_color if output_composition else None,
         bg_image=bg_image if output_composition else None,
+        bg_video=bg_video if output_composition else None,
         refiner_variables=refiner_variables,
     )
     return pipeline.run(input_source, output_alpha=output_alpha,

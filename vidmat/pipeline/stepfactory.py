@@ -66,6 +66,7 @@ def build_serving_body(
     tile_overlap: int = 64,
     refiner: Optional[tuple] = None,
     refine_at_full: bool = False,
+    bg_dynamic: bool = False,
 ) -> Tuple[Callable, ServingPlan]:
     """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
 
@@ -80,12 +81,19 @@ def build_serving_body(
               == 'errormap'.
     refine_at_full: also run guided refinement when the net runs at full
               resolution (edge-aware smoothing rather than upsampling).
+    bg_dynamic: per-frame background replacement (video background): the
+              body takes an extra (N, h, w, 3) float [0,1] bg argument
+              traced per call instead of a baked constant (`bg` must be
+              None). Single-frame serving path (N = 1).
 
     Returns (body, plan) where
-      body(variables, frame_u8 (N,h,w,3) uint8, state) -> (outs, new_state)
+      body(variables, frame_u8 (N,h,w,3) uint8, state[, bg_frame])
+        -> (outs, new_state)
       outs = (N,h,w) uint32 packed RGBA   if plan.packed
            | (alpha_u8 (N,h,w,1), fgr_u8 (N,h,w,3), rgba (N,h,w,4))
     """
+    if bg_dynamic and bg is not None:
+        raise ValueError("bg_dynamic takes bg per call; build with bg=None")
     net_h, net_w = ((h, w) if ratio >= 1.0
                     else downsample_ratio_shape(h, w, ratio))
     full = (net_h, net_w) == (h, w)
@@ -150,7 +158,7 @@ def build_serving_body(
 
         return init_state(model_cfg, batch, state_h, state_w, cdtype)
 
-    def body(variables, frame_u8, state):
+    def body_impl(variables, frame_u8, state, bgv):
         # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
         frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
         if use_pallas and pool:
@@ -175,7 +183,8 @@ def build_serving_body(
             ma, mb = guided_filter_coeffs(
                 gray_guide(x.astype(jnp.float32)), p,
                 radius=refine.guided_radius, eps=refine.guided_eps)
-            packed = fused_refine_composite(frame_u8, ma, mb, bg, pool=pool)
+            packed = fused_refine_composite(frame_u8, ma, mb, bgv,
+                                            pool=pool)
             return packed, new_state
         if not full:
             if refine.mode == "guided" and tile_size and pool:
@@ -207,12 +216,21 @@ def build_serving_body(
 
             # alpha rides the high byte of the packed words; composited RGB
             # is the low 24 bits — writers unpack the single packed D2H.
-            packed = composite_rgba_packed(fgr, alpha, bg)
+            packed = composite_rgba_packed(fgr, alpha, bgv)
             return packed, new_state
-        rgba = composite_rgba(fgr, alpha, bg)
+        rgba = composite_rgba(fgr, alpha, bgv)
         alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
         fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
         return (alpha_u8, fgr_u8, rgba), new_state
+
+    if bg_dynamic:
+        def body(variables, frame_u8, state, bg_frame):
+            # bg_frame: (N, h, w, 3) float [0,1]; the Pallas composite/
+            # fused tails take an (h, w, 3) image (single-frame path).
+            return body_impl(variables, frame_u8, state, bg_frame[0])
+    else:
+        def body(variables, frame_u8, state):
+            return body_impl(variables, frame_u8, state, bg)
 
     plan = ServingPlan(net_h=net_h, net_w=net_w, state_h=state_h,
                        state_w=state_w, pool=pool,

@@ -93,6 +93,57 @@ def _prepare_bg_image(bg_image: Union[str, np.ndarray], h: int,
     return bg
 
 
+class _BgFrameSource:
+    """Cycled per-frame backgrounds prepared to the stream's (h, w) bucket.
+
+    src: a video path (reopened when exhausted — no frame caching) or an
+    iterable of (H, W, 3) frames (frames seen so far are cached and cycled
+    — pass a path for very long background clips)."""
+
+    def __init__(self, src, h: int, w: int):
+        self.src, self.h, self.w = src, h, w
+        self._is_path = isinstance(src, str)
+        self._iter = None
+        self._cache: list = []
+        self._cycling = False
+        self._pos = 0
+
+    def _open(self):
+        if self._is_path:
+            from vidmat.io.reader import VideoReader
+
+            return iter(VideoReader(self.src))
+        return iter(self.src)
+
+    def next(self) -> np.ndarray:
+        """(1, h, w, 3) float32 in [0, 1]."""
+        if self._cycling:
+            f = self._cache[self._pos % len(self._cache)]
+            self._pos += 1
+            return f
+        if self._iter is None:
+            self._iter = self._open()
+        try:
+            raw = next(self._iter)
+        except StopIteration:
+            if self._is_path:
+                self._iter = self._open()  # loop the file, frames unbuffered
+                try:
+                    raw = next(self._iter)
+                except StopIteration:
+                    raise ValueError("bg_video has no frames") from None
+            elif self._cache:
+                self._cycling = True
+                self._pos = 0
+                return self.next()
+            else:
+                raise ValueError("bg_video yielded no frames") from None
+        f = _prepare_bg_image(raw, self.h, self.w)[None]
+        if not self._is_path:
+            self._cache.append(f)
+        return f
+
+
 class VideoPipeline:
     """End-to-end video matting (BASELINE.json:8-10 rungs)."""
 
@@ -101,11 +152,20 @@ class VideoPipeline:
                  variables=None, downsample_ratio: Optional[float] = None,
                  bg_color: Optional[Tuple[float, float, float]] = None,
                  bg_image: Optional[Union[str, np.ndarray]] = None,
+                 bg_video: Optional[Union[str, object]] = None,
                  refiner_variables=None):
         """bg_image: background-replacement image — path or (H, W, 3)
         array (uint8 or float in [0, 1]); resized once to each stream's
         frame bucket and blended per-pixel on device (takes precedence
-        over bg_color)."""
+        over bg_color).
+
+        bg_video: PER-FRAME background replacement — a video path or an
+        iterable of (H, W, 3) frames, consumed in lockstep with the input
+        and looped if shorter (path: the file is reopened; iterable: the
+        frames seen so far are cycled). Takes precedence over bg_image.
+        The background rides the jitted step as a traced argument
+        (stepfactory bg_dynamic), so switching backgrounds never
+        recompiles."""
         self.model_cfg = model_cfg
         self.pipe_cfg = pipe_cfg or PipelineConfig()
         self.variables = (variables if variables is not None
@@ -113,6 +173,7 @@ class VideoPipeline:
         self.downsample_ratio = downsample_ratio
         self.bg_color = bg_color
         self.bg_image = bg_image
+        self.bg_video = bg_video
         self._step_cache = {}
         cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
                   else None)
@@ -153,7 +214,10 @@ class VideoPipeline:
         cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         net_h, net_w = ((h, w) if ratio >= 1.0
                         else downsample_ratio_shape(h, w, ratio))
-        if self.bg_image is not None:
+        bg_dynamic = self.bg_video is not None
+        if bg_dynamic:
+            bg = None  # per-frame traced argument (stepfactory bg_dynamic)
+        elif self.bg_image is not None:
             bg = jnp.asarray(_prepare_bg_image(self.bg_image, h, w))
         elif self.bg_color is not None:
             bg = jnp.asarray(self.bg_color, jnp.float32)
@@ -174,11 +238,12 @@ class VideoPipeline:
             self.net, self.model_cfg, cfg.refine, h, w, ratio,
             cdtype=cdtype, bg=bg, use_pallas=cfg.use_pallas,
             need_fgr=need_fgr, tile_size=cfg.tile_size,
-            tile_overlap=cfg.tile_overlap, refiner=refiner)
+            tile_overlap=cfg.tile_overlap, refiner=refiner,
+            bg_dynamic=bg_dynamic)
 
         step = jax.jit(body)
         chunk_step = None
-        if cfg.chunk_size > 1:
+        if cfg.chunk_size > 1 and not bg_dynamic:
             @jax.jit
             def chunk_step(variables, frames_u8, state):
                 # frames_u8: (K, 1, H, W, 3)
@@ -186,6 +251,17 @@ class VideoPipeline:
                     outs, ns = body(variables, f, s)
                     return ns, outs
                 new_state, outs = jax.lax.scan(scan_body, state, frames_u8)
+                return outs, new_state
+        elif cfg.chunk_size > 1:
+            @jax.jit
+            def chunk_step(variables, frames_u8, bgs, state):
+                # frames_u8: (K, 1, H, W, 3); bgs: (K, 1, H, W, 3) f32
+                def scan_body(s, fb):
+                    f, b = fb
+                    outs, ns = body(variables, f, s, b)
+                    return ns, outs
+                new_state, outs = jax.lax.scan(scan_body, state,
+                                               (frames_u8, bgs))
                 return outs, new_state
 
         built = (step, chunk_step, plan)
@@ -244,6 +320,8 @@ class VideoPipeline:
                 step, chunk_step, plan = self._build_step(
                     ph, pw, ratio, need_fgr=bool(output_foreground))
                 state = plan.make_state(1)
+                bg_src = (_BgFrameSource(self.bg_video, ph, pw)
+                          if self.bg_video is not None else None)
                 if output_alpha:
                     writers["alpha"] = VideoWriter(output_alpha, source.fps)
                 if output_foreground:
@@ -269,7 +347,15 @@ class VideoPipeline:
                     continue
                 stacked = jnp.asarray(np.stack(chunk_buf))
                 chunk_buf = []
-                outs_k, state = chunk_step(self.variables, stacked, state)
+                if bg_src is not None:
+                    bgs = jnp.asarray(np.stack(
+                        [bg_src.next()
+                         for _ in range(self.pipe_cfg.chunk_size)]))
+                    outs_k, state = chunk_step(self.variables, stacked,
+                                               bgs, state)
+                else:
+                    outs_k, state = chunk_step(self.variables, stacked,
+                                               state)
                 if pending is not None:
                     flush(pending)
                     pending = None
@@ -288,8 +374,12 @@ class VideoPipeline:
                 metrics.record_chunk(t_now - t_prev, k)
                 t_prev = t_now
                 continue
-            outs, state = step(self.variables, jnp.asarray(host_frame),
-                               state)
+            if bg_src is not None:
+                outs, state = step(self.variables, jnp.asarray(host_frame),
+                                   state, jnp.asarray(bg_src.next()))
+            else:
+                outs, state = step(self.variables, jnp.asarray(host_frame),
+                                   state)
             if pending is not None:
                 flush(pending)  # overlap: host writes frame t-1 while device
                 # computes frame t
@@ -303,8 +393,12 @@ class VideoPipeline:
 
         # Drain the partial last chunk with the per-frame step.
         for host_frame in chunk_buf:
-            outs, state = step(self.variables, jnp.asarray(host_frame),
-                               state)
+            if bg_src is not None:
+                outs, state = step(self.variables, jnp.asarray(host_frame),
+                                   state, jnp.asarray(bg_src.next()))
+            else:
+                outs, state = step(self.variables, jnp.asarray(host_frame),
+                                   state)
             if pending is not None:
                 flush(pending)
             pending = outs
