@@ -277,3 +277,31 @@ def test_convert_video_bg_video_e2e(tmp_path):
     while cap.read()[0]:
         got += 1
     assert got == n
+
+
+def test_bg_video_path_loops_file(tmp_path):
+    """bg_video given as a PATH loops by reopening the file (no frame
+    caching) when it is shorter than the input."""
+    import cv2
+
+    from vidmat.api import convert_video
+    from vidmat.io.fixtures import synthetic_frames_only
+
+    h, w = 48, 64
+    bg_path = str(tmp_path / "bg.mp4")
+    vw = cv2.VideoWriter(bg_path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (w, h))
+    for c in ((255, 0, 0), (0, 255, 0)):
+        vw.write(np.full((h, w, 3), c[::-1], np.uint8))
+    vw.release()
+
+    frames = list(synthetic_frames_only(h, w, 5))
+    out = str(tmp_path / "comp.mp4")
+    m = convert_video(frames, output_composition=out, bg_video=bg_path,
+                      downsample_ratio=1.0)
+    assert m["frames"] == 5
+    cap = cv2.VideoCapture(out)
+    got = 0
+    while cap.read()[0]:
+        got += 1
+    assert got == 5
