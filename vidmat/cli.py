@@ -55,7 +55,9 @@ def _add_multistream(sub):
                        help="matte N videos concurrently (BASELINE.json:11)")
     p.add_argument("inputs", nargs="+", help="video files (one per stream)")
     p.add_argument("--output-dir", required=True)
-    p.add_argument("--downsample-ratio", type=float, default=0.25)
+    p.add_argument("--downsample-ratio", type=float, default=None,
+                   help="coarse-pass ratio (default: the preset's when "
+                        "--preset is given, else 0.25)")
     p.add_argument("--checkpoint")
     p.add_argument("--preset", choices=["multistream"], default=None,
                    help="use the multistream ladder preset (planar conv "
@@ -169,7 +171,13 @@ def main(argv=None) -> int:
             ms_cfg = dict(cfg=mcfg,
                           downsample_ratio=pcfg.downsample_ratio,
                           refine=pcfg.refine)
-        ms_cfg.setdefault("downsample_ratio", args.downsample_ratio)
+        # An explicit --downsample-ratio always wins; the preset's value
+        # applies only when the flag was left unset (ADVICE round 2: a
+        # non-None argparse default made user intent indistinguishable).
+        if args.downsample_ratio is not None:
+            ms_cfg["downsample_ratio"] = args.downsample_ratio
+        else:
+            ms_cfg.setdefault("downsample_ratio", 0.25)
         ms = MultiStreamMatting(len(readers), h, w, variables=variables,
                                 chunk=args.chunk, **ms_cfg)
         os.makedirs(args.output_dir, exist_ok=True)

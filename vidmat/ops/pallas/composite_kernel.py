@@ -55,10 +55,14 @@ def _composite_call(fgr_chw: jax.Array, alpha_hw: jax.Array,
                     interpret: bool = False) -> jax.Array:
     c, h, w = fgr_chw.shape
     # Pick the largest tile height that divides h AND keeps the working set
-    # (fgr 3ch f32 + alpha f32 + u32 out, double-buffered) under the 16MB
-    # scoped-VMEM budget — 4K-wide frames overflowed with fixed 128-row
-    # tiles.
-    budget_rows = max(8, (6 * 1024 * 1024) // (w * 4 * 5))
+    # (fgr 3ch f32 + alpha f32 + u32 out — plus the 3ch f32 bg tile in
+    # image mode — all double-buffered) under the 16MB scoped-VMEM budget;
+    # 4K-wide frames overflowed with fixed 128-row tiles. Lanes pad w up
+    # to a multiple of 128, so budget against the padded width (ADVICE
+    # round 2: w=1936 pads to 2048 lanes).
+    w_pad = -(-w // 128) * 128
+    planes = 8 if bg_mode == "image" else 5
+    budget_rows = max(8, (6 * 1024 * 1024) // (w_pad * 4 * planes))
     tile_h = 8
     for cand in (256, 128, 64, 32, 16, 8):
         if h % cand == 0 and cand <= budget_rows:

@@ -110,26 +110,30 @@ def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
 
 
 def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
-                      budget: int = 13 * 2**20) -> tuple[int, int]:
+                      budget: int = 13 * 2**20,
+                      has_bg_image: bool = False) -> tuple[int, int]:
     """(th, wc) tile sizes against the 16 MB scoped-VMEM limit.
 
     The per-program resident set: both coefficient grids (constant
     blocks, counted double-buffered — the compiler pipelines block
     fetches), the in-register (wl, wc) column-upsample matrix U, and
     ~24 B per output pixel of tile-proportional allocation (u8 frame +
-    u32 out, both double-buffered, plus live f32 temps). A full-width 4K
+    u32 out, both double-buffered, plus live f32 temps) — plus another
+    24 B/px when a per-pixel background tile rides the row grid
+    ((3, th, wc) f32 double-buffered; ADVICE round 2). A full-width 4K
     tile (w=3840) measured 16.06-18.66 MB — over the limit — so the grid
     tiles columns as well as rows; 6K/8K grow the grid, not the tile.
     Both returned sizes divide (h, w)."""
     wl_pad = -(-wl // 128) * 128
     coeff_bytes = 2 * 2 * 4 * hl * wl_pad * 4
+    px_bytes = 48 if has_bg_image else 24
 
     th = 64
     while h % th:
         th //= 2
 
     def est(th_, wc_):
-        return coeff_bytes + wl * wc_ * 4 + th_ * wc_ * 24
+        return coeff_bytes + wl * wc_ * 4 + th_ * wc_ * px_bytes
 
     cands = [d for d in range(w, 127, -128) if w % d == 0] or [w]
     wc = next((d for d in cands if est(th, d) <= budget), cands[-1])
@@ -139,16 +143,18 @@ def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
 
 
 def refine_tiles_fit(h: int, w: int, hl: int, wl: int,
-                     budget: int = 13 * 2**20) -> bool:
+                     budget: int = 13 * 2**20,
+                     has_bg_image: bool = False) -> bool:
     """Whether ANY (th, wc) tiling fits the scoped-VMEM budget. The
     coefficient grids are tile-size-independent residents, so a small
     pool factor at a large resolution (e.g. pool=2 at 4K: 1088x1920
     coeffs = ~270 MB) cannot fit no matter the tiling — callers must
     fall back to the unfused guided path (stepfactory checks this)."""
-    th, wc = pick_refine_tiles(h, w, hl, wl, budget)
+    th, wc = pick_refine_tiles(h, w, hl, wl, budget, has_bg_image)
     wl_pad = -(-wl // 128) * 128
+    px_bytes = 48 if has_bg_image else 24
     return (2 * 2 * 4 * hl * wl_pad * 4 + wl * wc * 4
-            + th * wc * 24) <= budget
+            + th * wc * px_bytes) <= budget
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "interpret"))
@@ -175,7 +181,8 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
         bg_in = jnp.concatenate([jnp.asarray(bg, jnp.float32),
                                  jnp.ones((1,), jnp.float32)])[None]
 
-    th, wc = pick_refine_tiles(h, w, hl, wl)
+    th, wc = pick_refine_tiles(h, w, hl, wl,
+                               has_bg_image=(bg_mode == "image"))
 
     kernel = functools.partial(_refine_kernel, pool=pool, th=th,
                                bg_mode=bg_mode)

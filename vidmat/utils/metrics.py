@@ -26,35 +26,40 @@ class RunMetrics:
     fps/chip, p50/p99 per-frame latency, MAD vs oracle when available."""
 
     def __init__(self) -> None:
-        self.frame_times: list[float] = []
+        # Each observation is (seconds, frames_covered) — mixing
+        # record_frame with record_chunk (e.g. a chunked run draining its
+        # partial tail per-frame) stays correct: frames = sum(k_i),
+        # fps = sum(k_i) / sum(t_i) (ADVICE round 2: a single global k
+        # mis-scaled mixed-granularity runs).
+        self.observations: list[tuple[float, int]] = []
         self.extra: Dict[str, Any] = {}
-        self._frames_per_obs = 1
         self._t0 = time.perf_counter()
 
     def record_frame(self, seconds: float) -> None:
-        self.frame_times.append(seconds)
+        self.observations.append((seconds, 1))
 
     def record_chunk(self, seconds: float, k: int) -> None:
         """One latency observation per K-frame dispatch (the chunked scan
-        path). Percentiles from chunk observations are per-DISPATCH, not
-        per-frame — summary() labels them so (dividing by K would fabricate
-        per-frame observations that were never made)."""
-        self.frame_times.append(seconds)
-        self._frames_per_obs = k
+        path). Percentiles over mixed-granularity observations are
+        per-DISPATCH, not per-frame — summary() labels them so (dividing
+        by K would fabricate per-frame observations that were never
+        made)."""
+        self.observations.append((seconds, k))
 
     def summary(self) -> Dict[str, Any]:
         out: Dict[str, Any] = dict(self.extra)
-        if self.frame_times:
-            t = np.array(self.frame_times)
-            k = self._frames_per_obs
+        if self.observations:
+            t = np.array([s for s, _ in self.observations])
+            ks = [k for _, k in self.observations]
             out.update(
-                frames=len(t) * k,
-                fps=float(len(t) * k / t.sum()),
+                frames=int(sum(ks)),
+                fps=float(sum(ks) / t.sum()),
                 p50_ms=float(np.percentile(t, 50) * 1e3),
                 p99_ms=float(np.percentile(t, 99) * 1e3),
             )
-            if k > 1:
-                out["latency_granularity"] = f"per-{k}-frame-dispatch"
+            kmax = max(ks)
+            if kmax > 1:
+                out["latency_granularity"] = f"per-{kmax}-frame-dispatch"
         out["wall_s"] = time.perf_counter() - self._t0
         return out
 
