@@ -117,28 +117,6 @@ def test_fused_refine_composite_matches_oracle():
         assert d.max() <= 1, d.max()  # +-1 quantization of f32 rounding
 
 
-def test_planar_conv_prototype_matches_oracle():
-    """Prototype planar-layout conv kernel (round-2 roofline work): correct
-    vs the XLA conv in interpret mode."""
-    from vidmat.ops.pallas.conv_kernel import planar_conv3x3
-
-    rng = np.random.RandomState(3)
-    cin, cout, h, w = 7, 12, 16, 24
-    x = rng.randn(cin, h, w).astype(np.float32)
-    wt = (rng.randn(cout, cin, 3, 3) * 0.1).astype(np.float32)
-    sc = rng.rand(cout).astype(np.float32)
-    bi = rng.randn(cout).astype(np.float32)
-    got = np.asarray(planar_conv3x3(jnp.asarray(x), jnp.asarray(wt),
-                                    jnp.asarray(sc), jnp.asarray(bi),
-                                    interpret=True))
-    ref = jax.lax.conv_general_dilated(
-        jnp.asarray(x)[None], jnp.asarray(wt), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
-    ref = np.maximum(np.asarray(ref) * sc[:, None, None]
-                     + bi[:, None, None], 0)
-    assert np.abs(got - ref).max() < 1e-4
-
-
 def test_refine_tile_sizing():
     """pick_refine_tiles must return dividing tile sizes that fit the
     scoped-VMEM budget at every ladder shape (the 4K full-width tile
