@@ -59,14 +59,15 @@ def _bench_e2e(jax, quick: bool) -> dict:
     not a device-resident ring)."""
     import tempfile
 
-    from vidmat.config import ModelConfig, PipelineConfig
+    from vidmat.config import PRESETS
     from vidmat.io.fixtures import synthetic_frames_only
     from vidmat.pipeline.video import VideoPipeline
 
     h, w, n = (288, 512, 40) if quick else (1080, 1920, 120)
     frames = list(synthetic_frames_only(h, w, n))
-    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
-    pipe = PipelineConfig(downsample_ratio=0.25)
+    # The shipped 1080p preset end-to-end, trained default weights and all
+    # (VideoPipeline auto-loads checkpoints/fast_demo for this config).
+    cfg, pipe = PRESETS["video_1080p"]()
     pipeline = VideoPipeline(model_cfg=cfg, pipe_cfg=pipe)
     # Warm run compiles the step; the timed run reuses it via the pipeline
     # step cache, so wall-clock below is steady-state only.
@@ -106,9 +107,10 @@ def main() -> None:
     ap.add_argument("--mode", default="1080p",
                     choices=["1080p", "4k", "4k_tiled", "multistream",
                              "480p", "e2e"])
-    ap.add_argument("--net", default="planar", choices=["planar", "xla"],
-                    help="conv execution path (ModelConfig.conv_impl); "
-                         "planar = the Pallas planar-kernel forward")
+    ap.add_argument("--net", default=None, choices=["planar", "xla"],
+                    help="override the preset's conv execution path "
+                         "(ModelConfig.conv_impl); default: the preset's "
+                         "(planar on every serving rung)")
     ap.add_argument("--chunk", type=int, default=None,
                     help="frames per dispatch: K>1 jits a K-frame "
                          "lax.scan over the serving body (the pipeline's "
@@ -133,56 +135,72 @@ def main() -> None:
         print(json.dumps(_bench_e2e(jax, args.quick)))
         return
 
+    import dataclasses
+
     import jax.numpy as jnp
 
-    from vidmat.config import ModelConfig, RefineConfig
+    from vidmat.config import PRESETS
     from vidmat.models.matting_net import MattingNetwork
     from vidmat.models.weights import init_params
     from vidmat.pipeline.stepfactory import build_serving_body
 
-    # One rung per BASELINE.json:6-12 config (--mode=4k/multistream/480p).
+    # Every rung's config comes FROM the ladder preset (config.py PRESETS)
+    # — the bench measures the config users actually construct with
+    # --preset, byte-identical (VERDICT r2 item 3: one source of truth).
+    # "4k" is the video_4k preset with tiling dropped (the fused coarse
+    # tail variant, labeled as such); "quick" is the 1080p preset at a
+    # small shape.
+    preset_name = {"quick": "video_1080p", "1080p": "video_1080p",
+                   "4k": "video_4k", "4k_tiled": "video_4k",
+                   "480p": "clip_480p", "multistream": "multistream"}[mode]
+    preset = PRESETS[preset_name]()
+    cfg, pcfg = preset[0], preset[1]
+    preset_label = preset_name
+
     batch = 1
     if mode == "quick":
-        h, w, ratio, frames_timed = 288, 512, 0.5, 60
+        h, w, frames_timed = 288, 512, 60
+        ratio = 0.5
+        preset_label += " (288x512 quick shapes)"
     elif mode in ("4k", "4k_tiled"):
-        h, w, ratio, frames_timed = 2176, 3840, 0.125, 120
+        h, w, frames_timed = 2176, 3840, 120
+        ratio = pcfg.downsample_ratio
+        if mode == "4k":
+            preset_label += " (tile_size=None variant)"
     elif mode == "480p":
-        h, w, ratio, frames_timed = 480, 864, 1.0, 240
+        h, w, frames_timed = 480, 864, 240
+        ratio = pcfg.downsample_ratio
     elif mode == "multistream":
-        h, w, ratio, frames_timed = 1088, 1920, 0.25, 120
-        batch = 8  # 8 concurrent 1080p streams batched on one chip
+        scfg = preset[2]
+        h, w, frames_timed = scfg.height, scfg.width, 120
+        ratio = scfg.downsample_ratio
+        batch = scfg.num_streams  # 8 concurrent 1080p streams, one chip
     else:
-        h, w, ratio, frames_timed = 1088, 1920, 0.25, 240
+        h, w, frames_timed = 1088, 1920, 240
+        ratio = pcfg.downsample_ratio
 
-    # TPU-first serving model: space_to_depth=2 halves every feature grid
-    # (small-channel activations are lane-padded to 128, so HBM traffic
-    # scales with H*W, not C — docs/PERFORMANCE.md); random weights (the
-    # throughput metric is weight-agnostic).
-    # planar applies to the batched multistream rung too (vmapped planar
-    # forward — single-chip only; the GSPMD/mesh path keeps XLA convs).
-    conv_impl = args.net
-    cfg = ModelConfig(space_to_depth=2, conv_impl=conv_impl)
-    cdtype = jnp.bfloat16
+    if args.net is not None and args.net != cfg.conv_impl:
+        cfg = dataclasses.replace(cfg, conv_impl=args.net)
+        preset_label += f" (--net={args.net} override)"
+    conv_impl = cfg.conv_impl
+    cdtype = jnp.bfloat16 if pcfg.dtype == "bfloat16" else jnp.float32
     net = MattingNetwork(cfg, dtype=cdtype)  # true bf16 conv path
+    # Random weights = the explicit opt-in (init_params): the throughput
+    # metric is weight-agnostic; the public API auto-loads trained
+    # checkpoints instead (models/weights.default_variables).
     variables = init_params(cfg)
 
-    # Shared serving body — the SAME code convert_video jits (stepfactory).
-    # refine_at_full keeps the 480p full-res rung running an edge-aware
-    # guided pass (its historical workload) instead of skipping refinement.
-    # 4k_tiled measures the video_4k PRESET's actual refine path (tiled
-    # full-res guided refinement with feathered overlap blending,
-    # BASELINE.json:10) rather than the fused coarse tail.
-    tile_kw = (dict(tile_size=1024, tile_overlap=128)
+    # Shared serving body — the SAME code convert_video jits (stepfactory),
+    # built with the preset's refine config and tiling.
+    tile_kw = (dict(tile_size=pcfg.tile_size, tile_overlap=pcfg.tile_overlap)
                if mode == "4k_tiled" else {})
     body, plan = build_serving_body(
-        net, cfg, RefineConfig(), h, w, ratio, cdtype=cdtype, bg=None,
-        refine_at_full=True, **tile_kw)
-    # Default frames-per-dispatch follows the ladder preset's chunk_size
-    # (config.py PRESETS): the headline number measures the config users
-    # actually get. 4K keeps chunk=1 (tile batch already fills the chip);
-    # multistream keeps chunk=1 (the serve loop gathers live streams).
-    preset_chunk = {"1080p": 4, "480p": 10}.get(mode, 1)
-    chunk = max(1, args.chunk if args.chunk is not None else preset_chunk)
+        net, cfg, pcfg.refine, h, w, ratio, cdtype=cdtype, bg=None,
+        **tile_kw)
+    # Frames-per-dispatch follows the preset's chunk_size. 4K/multistream
+    # presets keep chunk=1 (tile batch / live-stream gather fills the chip).
+    chunk = max(1, args.chunk if args.chunk is not None
+                else pcfg.chunk_size)
     if chunk == 1:
         step = jax.jit(body)
     else:
@@ -287,8 +305,9 @@ def main() -> None:
         "device": device,
         "resolution": f"{w}x{h}" + (f" x{batch} streams" if batch > 1 else ""),
         "downsample_ratio": ratio,
-        "dtype": "bfloat16",
+        "dtype": pcfg.dtype,
         "conv_impl": conv_impl,
+        "preset": preset_label,
     }
     if chunk > 1:
         result["chunk"] = chunk

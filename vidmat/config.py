@@ -119,25 +119,34 @@ def preset_pr1_image() -> tuple[ModelConfig, PipelineConfig]:
 
 
 def preset_clip_480p() -> tuple[ModelConfig, PipelineConfig]:
-    """100-frame 480p clip with temporal propagation (BASELINE.json:8)."""
-    return ModelConfig(), PipelineConfig(
+    """100-frame 480p clip with temporal propagation (BASELINE.json:8).
+
+    conv_impl="planar" is quality-neutral (same variables, parity-pinned);
+    the model stays s2d=1 — this is the parity-focused rung
+    (checkpoints/synthetic_demo, held-out MAD 0.0006)."""
+    return ModelConfig(conv_impl="planar"), PipelineConfig(
         downsample_ratio=1.0, chunk_size=10, refine=RefineConfig(mode="none"))
 
 
 def preset_video_1080p() -> tuple[ModelConfig, PipelineConfig]:
     """1080p recurrent + guided-filter refinement (BASELINE.json:9).
 
-    conv_impl="planar": the planar Pallas forward (quality-neutral — it
-    executes the same variables, parity-pinned) wins on the batch-1 TPU
-    serving path and is ignored on other backends/batch sizes."""
-    return ModelConfig(conv_impl="planar"), PipelineConfig(
+    The TPU serving model: space_to_depth=2 (~4x less lane-padded HBM
+    traffic; trained checkpoint checkpoints/fast_demo, held-out MAD
+    <=0.002, gated in tests/integration/test_quality.py) with the planar
+    Pallas forward (quality-neutral — it executes the same variables,
+    parity-pinned; ignored on non-TPU backends). bench.py builds its
+    headline config FROM this preset — one source of truth (VERDICT r2
+    item 3)."""
+    return ModelConfig(space_to_depth=2, conv_impl="planar"), PipelineConfig(
         downsample_ratio=0.25, chunk_size=4,
         refine=RefineConfig(mode="guided"))
 
 
 def preset_video_4k() -> tuple[ModelConfig, PipelineConfig]:
-    """4K tiled inference with overlap blending (BASELINE.json:10)."""
-    return ModelConfig(conv_impl="planar"), PipelineConfig(
+    """4K tiled inference with overlap blending (BASELINE.json:10).
+    Same serving model as video_1080p (s2d=2 + planar)."""
+    return ModelConfig(space_to_depth=2, conv_impl="planar"), PipelineConfig(
         downsample_ratio=0.125, chunk_size=1,
         refine=RefineConfig(mode="guided"), tile_size=1024, tile_overlap=128)
 
@@ -145,8 +154,9 @@ def preset_video_4k() -> tuple[ModelConfig, PipelineConfig]:
 def preset_multistream() -> tuple[ModelConfig, PipelineConfig, StreamConfig]:
     """8 concurrent 1080p streams (BASELINE.json:11). The planar forward
     vmaps over the stream axis on the single-chip path (1709 -> 2651
-    aggregate fps measured, BASELINE.md); a sharded mesh falls back to
-    XLA convs (Pallas calls are not GSPMD-partitionable)."""
+    aggregate fps measured, BASELINE.md); a sharded mesh runs the SAME
+    planar/fused body per-device under jax.shard_map (Pallas calls are
+    device-local inside shard_map — parallel/multistream.py)."""
     m, p = preset_video_1080p()
     return m, p, StreamConfig()
 
