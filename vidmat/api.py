@@ -23,11 +23,20 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
             padded internally.
     trimap: optional (H, W) float {0, 0.5, 1}.
     Returns (alpha (H, W, 1), fgr (H, W, 3)) float32 in [0,1].
+
+    With ``variables=None`` the shipped trained checkpoint is loaded
+    (checkpoints/synthetic_demo, or trimap_demo when a trimap is given);
+    the no-trimap default config is then the recurrent base model run
+    for one frame from a zero state, because that is the variant with
+    shipped weights.
     """
     from vidmat.pipeline.stepper import ImageStepper
 
     if cfg is None:
-        cfg = ModelConfig(recurrent=False, use_trimap=trimap is not None)
+        if variables is None and trimap is None:
+            cfg = ModelConfig()  # recurrent base: shipped synthetic_demo
+        else:
+            cfg = ModelConfig(recurrent=False, use_trimap=trimap is not None)
     stepper = ImageStepper(cfg, variables=variables)
     return stepper(image, trimap)
 

@@ -168,8 +168,14 @@ class VideoPipeline:
         recompiles."""
         self.model_cfg = model_cfg
         self.pipe_cfg = pipe_cfg or PipelineConfig()
-        self.variables = (variables if variables is not None
-                          else init_params(model_cfg))
+        if variables is None:
+            # Shipped trained weights, or a loud error — never silent
+            # random-weight serving (VERDICT r2 item 2; the same contract
+            # _load_default_refiner enforces for the errormap path).
+            from vidmat.models.weights import default_variables
+
+            variables = default_variables(model_cfg)
+        self.variables = variables
         self.downsample_ratio = downsample_ratio
         self.bg_color = bg_color
         self.bg_image = bg_image
