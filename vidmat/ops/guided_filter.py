@@ -86,7 +86,8 @@ def gray_guide(rgb: jax.Array) -> jax.Array:
 
 def guided_upsample(rgb_full: jax.Array, alpha_lr: jax.Array,
                     fgr_lr: jax.Array, radius: int = 4, eps: float = 1e-4,
-                    impl: str = "xla") -> tuple[jax.Array, jax.Array]:
+                    impl: str = "xla",
+                    interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Upsample coarse (alpha, fgr) to the full-res grid with a FAST guided
     filter (BASELINE.json:10 'downsample-ratio coarse pass + full-res
     refine').
@@ -114,7 +115,8 @@ def guided_upsample(rgb_full: jax.Array, alpha_lr: jax.Array,
         # Fused single-kernel statistics (vidmat.ops.pallas.gf_kernel).
         from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
 
-        ma, mb = guided_filter_coeffs(I, p, radius=radius, eps=eps)
+        ma, mb = guided_filter_coeffs(I, p, radius=radius, eps=eps,
+                                      interpret=interpret)
         mean_a = resize_bilinear(ma, h, w)
         mean_b = resize_bilinear(mb, h, w)
     else:

@@ -67,6 +67,7 @@ def build_serving_body(
     refiner: Optional[tuple] = None,
     refine_at_full: bool = False,
     bg_dynamic: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[Callable, ServingPlan]:
     """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
 
@@ -74,7 +75,12 @@ def build_serving_body(
     bg:       (3,) float background, or None (premultiplied-alpha output).
     use_pallas: None = auto (TPU backend only). Pallas calls are not GSPMD-
               partitionable, so pass False when the body runs under a
-              sharded jit over a mesh.
+              sharded GSPMD jit; under jax.shard_map the calls are
+              per-device local and the kernels apply (the multistream
+              mesh path — VERDICT r2 item 1).
+    pallas_interpret: run every Pallas kernel in interpreter mode (the
+              kernel sanitizer) — lets CPU tests execute the REAL kernel
+              serving path, e.g. under a virtual shard_map mesh.
     need_fgr: caller needs RAW foreground; forces the u8-tuple output (the
               packed word carries composited/premultiplied RGB).
     refiner:  optional (ErrorMapRefiner, variables) for refine.mode
@@ -98,7 +104,7 @@ def build_serving_body(
                     else downsample_ratio_shape(h, w, ratio))
     full = (net_h, net_w) == (h, w)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu") or pallas_interpret
     use_packed = use_pallas and not need_fgr
     pool = (h // net_h if (not full and h % net_h == 0 and w % net_w == 0
                            and h // net_h == w // net_w) else 0)
@@ -117,7 +123,12 @@ def build_serving_body(
     if use_fused:
         from vidmat.ops.pallas.refine_kernel import refine_tiles_fit
 
-        use_fused = refine_tiles_fit(h, w, net_h, net_w)
+        # Per-pixel backgrounds (bg image / bg video) add a (3, th, wc)
+        # f32 tile to the kernel's resident set — size with that flag so
+        # the estimator never picks an unfittable tile (ADVICE round 2).
+        has_bg_image = bg_dynamic or (bg is not None and jnp.ndim(bg) == 3)
+        use_fused = refine_tiles_fit(h, w, net_h, net_w,
+                                     has_bg_image=has_bg_image)
 
     # Planar Pallas conv path (models/planar.py): the whole net runs in
     # flattened planar layout — small-channel activations never touch
@@ -129,15 +140,21 @@ def build_serving_body(
         from vidmat.models.planar import build_planar_forward
 
         planar_fwd = build_planar_forward(model_cfg, state_h, state_w,
-                                          dtype=cdtype)
+                                          dtype=cdtype,
+                                          interpret=pallas_interpret)
 
     def net_apply(variables, xp, state):
         if planar_fwd is not None:
-            if xp.shape[0] == 1:
+            # Batched (multi-stream) vs single-frame planar serving is
+            # decided by the STATE layout, not the frame batch: batched
+            # state leaves are (B, C, TOTAL) — under shard_map a local
+            # shard can be batch-1 yet still carry the batched state
+            # convention (planar_init_state_batched).
+            leaves = jax.tree_util.tree_leaves(state)
+            batched = (leaves[0].ndim == 3 if leaves
+                       else xp.shape[0] > 1)
+            if not batched:
                 return planar_fwd(variables, xp, state)
-            # Batched (multi-stream) planar serving: vmap over the stream
-            # axis — state leaves carry a leading stream dim
-            # (planar_init_state_batched).
             from vidmat.models.planar import batch_planar_forward
 
             return batch_planar_forward(planar_fwd)(variables, xp, state)
@@ -164,7 +181,8 @@ def build_serving_body(
         if use_pallas and pool:
             from vidmat.ops.pallas import ingest_pool_normalize
 
-            x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype)
+            x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype,
+                                      interpret=pallas_interpret)
         else:
             x = frame.astype(cdtype)
             if not full:
@@ -182,9 +200,11 @@ def build_serving_body(
             p = jnp.concatenate([alpha, fgr], axis=-1)
             ma, mb = guided_filter_coeffs(
                 gray_guide(x.astype(jnp.float32)), p,
-                radius=refine.guided_radius, eps=refine.guided_eps)
+                radius=refine.guided_radius, eps=refine.guided_eps,
+                interpret=pallas_interpret)
             packed = fused_refine_composite(frame_u8, ma, mb, bgv,
-                                            pool=pool)
+                                            pool=pool,
+                                            interpret=pallas_interpret)
             return packed, new_state
         if not full:
             if refine.mode == "guided" and tile_size and pool:
@@ -195,11 +215,13 @@ def build_serving_body(
 
                 alpha, fgr = tiled_guided_upsample(
                     frame, alpha, fgr, tile_size, tile_overlap,
-                    refine.guided_radius, refine.guided_eps, impl=gf_impl)
+                    refine.guided_radius, refine.guided_eps, impl=gf_impl,
+                    interpret=pallas_interpret)
             elif refine.mode == "guided":
                 alpha, fgr = guided_upsample(
                     frame, alpha, fgr, refine.guided_radius,
-                    refine.guided_eps, impl=gf_impl)
+                    refine.guided_eps, impl=gf_impl,
+                    interpret=pallas_interpret)
             elif refine.mode == "errormap" and refiner is not None:
                 x32 = x.astype(jnp.float32)
                 alpha, _err = refiner[0].apply(refiner[1], frame, x32, alpha)
@@ -210,13 +232,14 @@ def build_serving_body(
         elif refine_at_full and refine.mode == "guided":
             alpha, fgr = guided_upsample(
                 frame, alpha, fgr, refine.guided_radius, refine.guided_eps,
-                impl=gf_impl)
+                impl=gf_impl, interpret=pallas_interpret)
         if use_packed:
             from vidmat.ops.pallas import composite_rgba_packed
 
             # alpha rides the high byte of the packed words; composited RGB
             # is the low 24 bits — writers unpack the single packed D2H.
-            packed = composite_rgba_packed(fgr, alpha, bgv)
+            packed = composite_rgba_packed(fgr, alpha, bgv,
+                                           interpret=pallas_interpret)
             return packed, new_state
         rgba = composite_rgba(fgr, alpha, bgv)
         alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)

@@ -196,7 +196,7 @@ def tiled_apply(fn, frame: jax.Array, tile: int, overlap: int) -> jax.Array:
 def tiled_guided_upsample(frame: jax.Array, alpha_lr: jax.Array,
                           fgr_lr: jax.Array, tile: int, overlap: int,
                           radius: int = 4, eps: float = 1e-4,
-                          impl: str = "xla"):
+                          impl: str = "xla", interpret: bool = False):
     """Tiled/patch full-res guided refinement with overlap blending
     (BASELINE.json:10): each full-res tile is refined against its own
     coarse crop, all tiles as ONE batch, then feather-blended.
@@ -229,7 +229,7 @@ def tiled_guided_upsample(frame: jax.Array, alpha_lr: jax.Array,
     a_tiles = tile_frame(alpha_lr, lr_layout)
     f_tiles = tile_frame(fgr_lr, lr_layout)
     a_ref, f_ref = guided_upsample(tiles, a_tiles, f_tiles, radius, eps,
-                                   impl=impl)
+                                   impl=impl, interpret=interpret)
     alpha = untile_frame(a_ref, layout, n)
     fgr = untile_frame(f_ref, layout, n)
     return alpha, fgr
