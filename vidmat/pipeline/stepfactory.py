@@ -68,6 +68,8 @@ def build_serving_body(
     refine_at_full: bool = False,
     bg_dynamic: bool = False,
     pallas_interpret: bool = False,
+    float_frames: bool = False,
+    float_output: bool = False,
 ) -> Tuple[Callable, ServingPlan]:
     """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
 
@@ -81,6 +83,13 @@ def build_serving_body(
     pallas_interpret: run every Pallas kernel in interpreter mode (the
               kernel sanitizer) — lets CPU tests execute the REAL kernel
               serving path, e.g. under a virtual shard_map mesh.
+    float_frames: the body takes (N, h, w, C) float32 frames in [0, 1]
+              instead of uint8 (the fp32 parity contract of the streaming
+              stepper). Disables the u8-consuming kernels (ingest, fused
+              tail); everything else is shared.
+    float_output: return (alpha (N,h,w,1), fgr (N,h,w,3)) float32 instead
+              of quantized/packed output — no composite, no quantization
+              (streaming MattingSession contract; parity harnesses).
     need_fgr: caller needs RAW foreground; forces the u8-tuple output (the
               packed word carries composited/premultiplied RGB).
     refiner:  optional (ErrorMapRefiner, variables) for refine.mode
@@ -105,7 +114,7 @@ def build_serving_body(
     full = (net_h, net_w) == (h, w)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu") or pallas_interpret
-    use_packed = use_pallas and not need_fgr
+    use_packed = use_pallas and not need_fgr and not float_output
     pool = (h // net_h if (not full and h % net_h == 0 and w % net_w == 0
                            and h // net_h == w // net_w) else 0)
     gf_impl = "pallas" if use_pallas else "xla"
@@ -119,7 +128,7 @@ def build_serving_body(
     # pool at a large resolution, e.g. pool=2 at 4K, cannot — the kernel
     # holds both coeff grids resident; refine_kernel.refine_tiles_fit).
     use_fused = (use_packed and pool > 1 and refine.mode == "guided"
-                 and not tile_size)
+                 and not tile_size and not float_frames)
     if use_fused:
         from vidmat.ops.pallas.refine_kernel import refine_tiles_fit
 
@@ -177,8 +186,10 @@ def build_serving_body(
 
     def body_impl(variables, frame_u8, state, bgv):
         # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
-        frame = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
-        if use_pallas and pool:
+        # (float_frames: the input is already float32 in [0, 1].)
+        frame = (frame_u8.astype(jnp.float32) if float_frames
+                 else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
+        if use_pallas and pool and not float_frames:
             from vidmat.ops.pallas import ingest_pool_normalize
 
             x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype,
@@ -233,6 +244,8 @@ def build_serving_body(
             alpha, fgr = guided_upsample(
                 frame, alpha, fgr, refine.guided_radius, refine.guided_eps,
                 impl=gf_impl, interpret=pallas_interpret)
+        if float_output:
+            return (alpha, fgr), new_state
         if use_packed:
             from vidmat.ops.pallas import composite_rgba_packed
 

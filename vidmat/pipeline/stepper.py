@@ -16,10 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from vidmat.config import ModelConfig
-from vidmat.models.matting_net import MattingNetwork, init_state
+from vidmat.models.matting_net import MattingNetwork
 from vidmat.models.weights import default_variables
-from vidmat.ops.guided_filter import guided_upsample
-from vidmat.ops.resize import downsample_ratio_shape, resize_bilinear
+from vidmat.ops.resize import downsample_ratio_shape
 
 
 def pad_to_multiple(x: np.ndarray, m: int = 16) -> Tuple[np.ndarray, int, int]:
@@ -82,6 +81,18 @@ class VideoStepper:
 
     downsample_ratio < 1 runs the net on a coarse grid and restores full
     resolution with the guided filter (BASELINE.json:9-10).
+
+    The step body comes from the shared serving-step factory
+    (vidmat.pipeline.stepfactory — the one implementation shared with
+    convert_video, MultiStreamMatting, and bench.py; VERDICT r2 item 5),
+    built in float-output mode (the streaming contract returns float32
+    alpha/fgr, never quantized frames).
+
+    dtype="float32" (default) is the fp32 PARITY mode: float frames in,
+    float32 compute, XLA ops only — byte-for-byte the historical stepper
+    semantics the parity/oracle harnesses pin. dtype="bfloat16" is the
+    SERVING mode: uint8 frames ride the fused Pallas ingest and the
+    planar conv path on TPU (same kernels as the video pipeline).
     """
 
     def __init__(self, cfg: ModelConfig, height: int, width: int,
@@ -94,13 +105,12 @@ class VideoStepper:
         self.cfg = cfg
         self.h, self.w = height, width
         self.ratio = downsample_ratio
-        self.net = MattingNetwork(
-            cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
         # Shipped trained weights or a loud error — never silent
         # random-weight serving (VERDICT r2 item 2).
         self.variables = (variables if variables is not None
                           else default_variables(cfg))
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self._parity = dtype != "bfloat16"
 
         if downsample_ratio < 1.0:
             self.net_h, self.net_w = downsample_ratio_shape(
@@ -108,48 +118,42 @@ class VideoStepper:
         else:
             self.net_h, self.net_w = height, width
 
-        net_h, net_w = self.net_h, self.net_w
-        full = (net_h, net_w) == (height, width)
-        cdtype = self.dtype
-        mult = 16 * cfg.space_to_depth
-        pad_nh, pad_nw = -net_h % mult, -net_w % mult
-        self._state_hw = (net_h + pad_nh, net_w + pad_nw)
+        from vidmat.config import RefineConfig
+        from vidmat.pipeline.stepfactory import build_serving_body
 
-        @jax.jit
-        def step(variables, frame, state):
-            # frame: (1, H, W, 3) float32 [0,1] device-resident
-            x = frame.astype(cdtype)
-            if not full:
-                x = resize_bilinear(x, net_h, net_w)
-            xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
-                          mode="edge") if (pad_nh or pad_nw) else x)
-            alpha, fgr, new_state = self.net.apply(variables, xp, state)
-            alpha = alpha[:, :net_h, :net_w]
-            fgr = fgr[:, :net_h, :net_w]
-            if not full:
-                alpha, fgr = guided_upsample(
-                    frame, alpha.astype(jnp.float32),
-                    fgr.astype(jnp.float32), guided_radius, guided_eps)
-            return alpha.astype(jnp.float32), fgr.astype(jnp.float32), new_state
-
-        self._step = step
+        net = MattingNetwork(
+            cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
+        self.net = net
+        body, plan = build_serving_body(
+            net, cfg,
+            RefineConfig(mode="guided", guided_radius=guided_radius,
+                         guided_eps=guided_eps),
+            height, width, downsample_ratio, cdtype=self.dtype, bg=None,
+            # Parity mode pins the historical pure-XLA float path; serving
+            # mode lets the factory pick the kernels for the backend.
+            use_pallas=False if self._parity else None,
+            float_frames=self._parity, float_output=True)
+        self._plan = plan
+        self._step = jax.jit(body)
         self.reset()
 
     def reset(self) -> None:
-        self.state = (init_state(self.cfg, 1, *self._state_hw, self.dtype)
-                      if self.cfg.recurrent else None)
+        self.state = self._plan.make_state(1)
+
+    def _device_frame(self, frame: np.ndarray) -> jnp.ndarray:
+        if self._parity:
+            return jnp.asarray(to_float_rgb(frame))[None]
+        if frame.dtype != np.uint8:
+            frame = np.round(np.clip(frame, 0.0, 1.0) * 255.0
+                             ).astype(np.uint8)
+        return jnp.asarray(frame)[None]
 
     def step(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """frame: (H, W, 3) uint8 or float RGB. Returns host alpha, fgr."""
-        f = jnp.asarray(to_float_rgb(frame))[None]
-        alpha, fgr, self.state = self._step(self.variables, f, self.state)
+        """frame: (H, W, 3) uint8 or float RGB. Returns host alpha, fgr
+        (float32 in [0, 1])."""
+        (alpha, fgr), self.state = self._step(
+            self.variables, self._device_frame(frame), self.state)
         return np.asarray(alpha)[0], np.asarray(fgr)[0]
-
-    def step_device(self, frame: jax.Array):
-        """Device-to-device step (used by the video pipeline driver to avoid
-        host round-trips): frame (1,H,W,3) float32 -> (alpha, fgr) device."""
-        alpha, fgr, self.state = self._step(self.variables, frame, self.state)
-        return alpha, fgr
 
     # -- mid-video resume (SURVEY.md §5 checkpoint/resume: the pipeline
     # carry is itself a checkpointable pytree) --
@@ -164,8 +168,9 @@ class VideoStepper:
         save_checkpoint(path, carry)
 
     def load_state(self, path: str) -> int:
-        """Restore a saved carry; returns the saved frame index."""
-        from vidmat.models.matting_net import RecurrentState
+        """Restore a saved carry; returns the saved frame index. The carry
+        type follows the serving path (RecurrentState for XLA convs,
+        PlanarState planes on the planar path)."""
         from vidmat.models.weights import load_checkpoint
 
         template = {"frame_index": jnp.asarray(0),
@@ -173,7 +178,7 @@ class VideoStepper:
                               else {})}
         carry = load_checkpoint(path, template=template)
         if carry["state"]:
-            self.state = RecurrentState(
+            self.state = type(self.state)(
                 **{k: jnp.asarray(v, self.dtype)
                    for k, v in carry["state"].items()})
         return int(carry["frame_index"])
