@@ -101,12 +101,152 @@ def _bench_e2e(jax, quick: bool) -> dict:
     }
 
 
+def _bench_smoke(jax) -> dict:
+    """Compile every Pallas kernel at minimal shapes on the real backend
+    and compare against its interpret-mode oracle (VERDICT r2 item 7): a
+    Mosaic lowering regression fails here in seconds with a NAMED kernel,
+    instead of surfacing as a 900 s watchdog JSON mid-bench."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    report, failed = {}, []
+
+    def check(name, fn):
+        t0 = time.perf_counter()
+        try:
+            err, tol = fn()
+            entry = {"max_err": float(err), "tol": tol,
+                     "s": round(time.perf_counter() - t0, 1)}
+            if not (err <= tol):
+                entry["status"] = "TOLERANCE_EXCEEDED"
+                failed.append(name)
+            report[name] = entry
+        except Exception as e:  # compile/lowering failure — the target
+            report[name] = {"status": "ERROR",
+                            "error": f"{type(e).__name__}: {e}"[:500],
+                            "s": round(time.perf_counter() - t0, 1)}
+            failed.append(name)
+
+    def k_ingest():
+        from vidmat.ops.pallas.ingest_kernel import ingest_pool_normalize
+
+        f = jnp.asarray(rng.randint(0, 255, (1, 64, 256, 3), np.uint8))
+        got = np.asarray(ingest_pool_normalize(f, pool=2)
+                         .astype(jnp.float32))
+        want = np.asarray(ingest_pool_normalize(f, pool=2, interpret=True)
+                          .astype(jnp.float32))
+        return np.abs(got - want).max(), 2e-2  # bf16 output
+
+    def k_gf():
+        from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
+
+        g = jnp.asarray(rng.rand(1, 64, 256, 1).astype(np.float32))
+        p = jnp.asarray(rng.rand(1, 64, 256, 4).astype(np.float32))
+        a, b = guided_filter_coeffs(g, p)
+        ai, bi = guided_filter_coeffs(g, p, interpret=True)
+        return max(np.abs(np.asarray(a) - np.asarray(ai)).max(),
+                   np.abs(np.asarray(b) - np.asarray(bi)).max()), 1e-3
+
+    def k_composite():
+        from vidmat.ops.pallas.composite_kernel import (
+            composite_rgba_packed, unpack_rgba_host)
+
+        fgr = jnp.asarray(rng.rand(1, 64, 256, 3).astype(np.float32))
+        alpha = jnp.asarray(rng.rand(1, 64, 256, 1).astype(np.float32))
+        bg = jnp.asarray(rng.rand(64, 256, 3).astype(np.float32))  # image
+        got = unpack_rgba_host(np.asarray(
+            composite_rgba_packed(fgr, alpha, bg)))
+        want = unpack_rgba_host(np.asarray(
+            composite_rgba_packed(fgr, alpha, bg, interpret=True)))
+        return np.abs(got.astype(int) - want.astype(int)).max(), 1
+
+    def k_refine():
+        from vidmat.ops.pallas.refine_kernel import fused_refine_composite
+
+        f = jnp.asarray(rng.randint(0, 255, (1, 64, 256, 3), np.uint8))
+        a = jnp.asarray(rng.uniform(-1, 1, (1, 16, 64, 4))
+                        .astype(np.float32))
+        b = jnp.asarray(rng.uniform(-0.5, 1, (1, 16, 64, 4))
+                        .astype(np.float32))
+        got = np.asarray(fused_refine_composite(f, a, b, None, pool=4))
+        want = np.asarray(fused_refine_composite(f, a, b, None, pool=4,
+                                                 interpret=True))
+        d = np.abs(got.view(np.uint8).astype(int)
+                   - want.view(np.uint8).astype(int))
+        return d.max(), 1
+
+    def k_planar_conv():
+        from vidmat.ops.pallas.planar import (conv3x3_taps,
+                                              conv_tap_weights,
+                                              interior_mask, planar_conv,
+                                              to_planar)
+
+        h, w, ci, co = 32, 240, 8, 8
+        x = to_planar(jnp.asarray(rng.randn(1, h, w, ci)
+                                  .astype(np.float32)))
+        k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.1)
+        args = ([x], [conv_tap_weights(k)], conv3x3_taps(w),
+                jnp.ones((co, 1), jnp.float32),
+                jnp.zeros((co, 1), jnp.float32), interior_mask(h, w))
+        got = np.asarray(planar_conv(*args))
+        want = np.asarray(planar_conv(*args, interpret=True))
+        return np.abs(got - want).max(), 1e-4
+
+    def k_planar_gru():
+        from vidmat.ops.pallas.planar import (conv3x3_taps,
+                                              conv_tap_weights,
+                                              interior_mask, planar_gru,
+                                              to_planar)
+
+        h, w, c = 32, 240, 8
+        xp = to_planar(jnp.asarray(rng.randn(1, h, w, c)
+                                   .astype(np.float32)))
+        hp = to_planar(jnp.asarray(rng.randn(1, h, w, c)
+                                   .astype(np.float32)))
+        wg = jnp.asarray(rng.randn(3, 3, 2 * c, 2 * c)
+                         .astype(np.float32) * 0.1)
+        wc_ = jnp.asarray(rng.randn(3, 3, 2 * c, c)
+                          .astype(np.float32) * 0.1)
+        args = (xp, hp,
+                conv_tap_weights(wg[:, :, :c]),
+                conv_tap_weights(wg[:, :, c:]),
+                jnp.zeros((2 * c, 1), jnp.float32),
+                conv_tap_weights(wc_[:, :, :c]),
+                conv_tap_weights(wc_[:, :, c:]),
+                jnp.zeros((c, 1), jnp.float32),
+                interior_mask(h, w), conv3x3_taps(w))
+        got = np.asarray(planar_gru(*args))
+        want = np.asarray(planar_gru(*args, interpret=True))
+        return np.abs(got - want).max(), 1e-4
+
+    t0 = time.perf_counter()
+    for name, fn in [("ingest", k_ingest), ("gf", k_gf),
+                     ("composite", k_composite), ("refine", k_refine),
+                     ("planar_conv", k_planar_conv),
+                     ("planar_gru", k_planar_gru)]:
+        check(name, fn)
+    n_total = len(report)
+    n_ok = n_total - len(failed)
+    out = {
+        "metric": "pallas kernel smoke (compiled vs interpret oracle)",
+        "value": n_ok,
+        "unit": f"kernels_ok_of_{n_total}",
+        "vs_baseline": round(n_ok / n_total, 3),
+        "device": str(jax.devices()[0]),
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "kernels": report,
+    }
+    if failed:
+        out["error"] = "kernel smoke FAILED: " + ", ".join(failed)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--mode", default="1080p",
                     choices=["1080p", "4k", "4k_tiled", "multistream",
-                             "480p", "e2e"])
+                             "480p", "e2e", "smoke"])
     ap.add_argument("--net", default=None, choices=["planar", "xla"],
                     help="override the preset's conv execution path "
                          "(ModelConfig.conv_impl); default: the preset's "
@@ -133,6 +273,12 @@ def main() -> None:
 
     if mode == "e2e":
         print(json.dumps(_bench_e2e(jax, args.quick)))
+        return
+    if mode == "smoke":
+        result = _bench_smoke(jax)
+        print(json.dumps(result))
+        if "error" in result:
+            raise SystemExit(2)
         return
 
     import dataclasses
