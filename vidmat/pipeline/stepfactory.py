@@ -124,11 +124,23 @@ def build_serving_body(
     pad_nw = -net_w % mult
     # Fully fused tail (GF coeffs at coarse res + one-pass refine/composite
     # kernel): packed pallas path with an integer pool, guided refinement,
-    # no tiling, and a coefficient grid that fits scoped VMEM (a small
-    # pool at a large resolution, e.g. pool=2 at 4K, cannot — the kernel
-    # holds both coeff grids resident; refine_kernel.refine_tiles_fit).
+    # and a coefficient grid that fits scoped VMEM (a small pool at a
+    # large resolution, e.g. pool=2 at 4K, cannot — the kernel holds both
+    # coeff grids resident; refine_kernel.refine_tiles_fit).
     use_fused = (use_packed and pool > 1 and refine.mode == "guided"
-                 and not tile_size and not float_frames)
+                 and not float_frames)
+    # Tiled rung (BASELINE.json:10): the feathered overlap blend commutes
+    # EXACTLY with the pointwise guided apply (the guide is shared across
+    # tiles, so sum_i w_i (a_i g + b_i) = (sum w_i a_i) g + (sum w_i b_i))
+    # — so tiling runs per-COARSE-tile GF stats, feather-blends the
+    # coefficient grids at coarse res (cheap), and applies the whole-frame
+    # fused refine+composite kernel once. 4K tiled thereby runs at
+    # fused-tail speed instead of materializing full-res per-tile
+    # intermediates (VERDICT r2 item 4: 207 fps -> fused-path rate).
+    fused_tiled = bool(tile_size) and use_fused and (
+        tile_size % pool == 0 and tile_overlap % pool == 0)
+    if tile_size and not fused_tiled:
+        use_fused = False
     if use_fused:
         from vidmat.ops.pallas.refine_kernel import refine_tiles_fit
 
@@ -138,6 +150,7 @@ def build_serving_body(
         has_bg_image = bg_dynamic or (bg is not None and jnp.ndim(bg) == 3)
         use_fused = refine_tiles_fit(h, w, net_h, net_w,
                                      has_bg_image=has_bg_image)
+        fused_tiled = fused_tiled and use_fused
 
     # Planar Pallas conv path (models/planar.py): the whole net runs in
     # flattened planar layout — small-channel activations never touch
@@ -208,11 +221,31 @@ def build_serving_body(
             from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
             from vidmat.ops.pallas.refine_kernel import fused_refine_composite
 
+            guide = gray_guide(x.astype(jnp.float32))
             p = jnp.concatenate([alpha, fgr], axis=-1)
-            ma, mb = guided_filter_coeffs(
-                gray_guide(x.astype(jnp.float32)), p,
-                radius=refine.guided_radius, eps=refine.guided_eps,
-                interpret=pallas_interpret)
+            if fused_tiled:
+                # Tiled/patch inference with overlap blending
+                # (BASELINE.json:10), reformulated at coarse res: GF
+                # stats per coarse tile, feathered segment blend of the
+                # COEFFICIENT grids (exact — the apply is pointwise in
+                # (a, b) and the guide is shared), then one whole-frame
+                # fused refine+composite pass.
+                from vidmat.refine.tiling import (TileLayout, tile_frame,
+                                                  untile_frame)
+
+                lr_layout = TileLayout(net_h, net_w, tile_size // pool,
+                                       tile_overlap // pool)
+                nb = frame_u8.shape[0]
+                ma_t, mb_t = guided_filter_coeffs(
+                    tile_frame(guide, lr_layout), tile_frame(p, lr_layout),
+                    radius=refine.guided_radius, eps=refine.guided_eps,
+                    interpret=pallas_interpret)
+                ma = untile_frame(ma_t, lr_layout, nb)
+                mb = untile_frame(mb_t, lr_layout, nb)
+            else:
+                ma, mb = guided_filter_coeffs(
+                    guide, p, radius=refine.guided_radius,
+                    eps=refine.guided_eps, interpret=pallas_interpret)
             packed = fused_refine_composite(frame_u8, ma, mb, bgv,
                                             pool=pool,
                                             interpret=pallas_interpret)
