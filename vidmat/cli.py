@@ -27,6 +27,10 @@ def _add_video(sub):
     p.add_argument("--bg-image", default=None,
                    help="background replacement image path (overrides "
                         "--bg-color for the composition output)")
+    p.add_argument("--bg-video", default=None,
+                   help="per-frame background replacement video path, "
+                        "looped if shorter than the input (overrides "
+                        "--bg-image)")
     p.add_argument("--downsample-ratio", type=float, default=None)
     p.add_argument("--preset", choices=["clip_480p", "video_1080p",
                                         "video_4k"], default=None)
@@ -108,6 +112,7 @@ def main(argv=None) -> int:
                 output_foreground=args.output_foreground,
                 output_composition=args.output_composition,
                 bg_color=bg, bg_image=args.bg_image,
+                bg_video=args.bg_video,
                 downsample_ratio=args.downsample_ratio,
                 variables=variables, model_cfg=model_cfg,
                 pipe_cfg=pipe_cfg, progress=args.progress)
