@@ -259,10 +259,12 @@ def main() -> None:
                          "Default: the ladder preset's chunk_size "
                          "(1080p/480p chunked, 4K/multistream per-frame)")
     args, _ = ap.parse_known_args()
-    # e2e drives the full VideoPipeline (fresh step compiles + per-frame
-    # tunnel relay H2D at ~125 ms/frame) — it needs a longer leash than
-    # the device-ring modes (a 900s watchdog fired mid-compile once).
-    _watchdog(1700.0 if args.mode == "e2e" else 900.0)
+    # Fresh TPU compiles over the dev tunnel take 5-25 min (docs/
+    # PERFORMANCE.md) — a 900s watchdog fired mid-compile on e2e (r2) and
+    # on a cold 4k step (r3). The driver's headline run (default 1080p)
+    # keeps the tight 900s leash (its cache is always warm); every other
+    # mode may be compiling a cold step and gets 1700s.
+    _watchdog(900.0 if args.mode == "1080p" else 1700.0)
     mode = "quick" if args.quick and args.mode != "e2e" else args.mode
 
     import jax
