@@ -70,3 +70,12 @@ def test_run_metrics_chunk_accounting():
     m2 = RunMetrics()
     m2.record_frame(0.01)
     assert "latency_granularity" not in m2.summary()
+
+    # Mixed granularity (chunked run draining its tail per-frame) must
+    # count frames per observation, not scale by one global k (ADVICE r2).
+    m3 = RunMetrics()
+    m3.record_chunk(0.04, k=4)   # 4 frames in 40 ms
+    m3.record_frame(0.01)        # 1 frame in 10 ms
+    s3 = m3.summary()
+    assert s3["frames"] == 5
+    assert abs(s3["fps"] - 100.0) < 1e-6  # 5 frames / 0.05 s
