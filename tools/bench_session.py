@@ -12,10 +12,13 @@ session's host step() additionally pays the per-frame H2D/D2H that the
 dev tunnel inflates ~1000x, measured separately by bench --mode=e2e).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -158,7 +158,11 @@ def preset_multistream() -> tuple[ModelConfig, PipelineConfig, StreamConfig]:
     planar/fused body per-device under jax.shard_map (Pallas calls are
     device-local inside shard_map — parallel/multistream.py)."""
     m, p = preset_video_1080p()
-    return m, p, StreamConfig()
+    # The serve loop keeps per-round dispatch (lowest latency; batching 8
+    # streams already amortizes the dispatch floor — measured a wash vs
+    # chunked in round 2). chunk>1 stays an explicit opt-in
+    # (MultiStreamMatting(chunk=K), CLI --chunk).
+    return m, dataclasses.replace(p, chunk_size=1), StreamConfig()
 
 
 PRESETS = {
