@@ -265,7 +265,8 @@ def main() -> None:
     # keeps the tight 900s leash (its cache is always warm); every other
     # mode may be compiling a cold step and gets 1700s.
     _watchdog(900.0 if args.mode == "1080p" else 1700.0)
-    mode = "quick" if args.quick and args.mode != "e2e" else args.mode
+    mode = ("quick" if args.quick and args.mode not in ("e2e", "smoke")
+            else args.mode)
 
     import jax
 

@@ -295,6 +295,36 @@ def test_convert_video_bg_video_e2e(tmp_path):
     assert got == n
 
 
+def test_cli_video_bg_video_flag(tmp_path):
+    """CLI --bg-video plumbs through to convert_video(bg_video=...)."""
+    import cv2
+
+    from vidmat.cli import main as cli_main
+    from vidmat.io.fixtures import synthetic_frames_only
+    from vidmat.io.writer import VideoWriter
+
+    h, w = 48, 64
+    inp = str(tmp_path / "in.mp4")
+    vw = VideoWriter(inp, 10)
+    for f in synthetic_frames_only(h, w, 4):
+        vw.write(f)
+    vw.close()
+    bg_path = str(tmp_path / "bg.mp4")
+    bw = cv2.VideoWriter(bg_path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (w, h))
+    bw.write(np.full((h, w, 3), (0, 0, 255), np.uint8))  # red (BGR)
+    bw.release()
+    out = str(tmp_path / "comp.mp4")
+    rc = cli_main(["video", inp, "--output-composition", out,
+                   "--bg-video", bg_path, "--downsample-ratio", "1.0"])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 4
+
+
 def test_bg_video_path_loops_file(tmp_path):
     """bg_video given as a PATH loops by reopening the file (no frame
     caching) when it is shorter than the input."""
