@@ -175,6 +175,19 @@ def _bench_smoke(jax) -> dict:
                    - want.view(np.uint8).astype(int))
         return d.max(), 1
 
+    def k_refine_float():
+        from vidmat.ops.pallas.refine_kernel import fused_refine_float
+
+        f = jnp.asarray(rng.randint(0, 255, (1, 64, 256, 3), np.uint8))
+        a = jnp.asarray(rng.uniform(-1, 1, (1, 16, 64, 4))
+                        .astype(np.float32))
+        b = jnp.asarray(rng.uniform(-0.5, 1, (1, 16, 64, 4))
+                        .astype(np.float32))
+        ga, gf = fused_refine_float(f, a, b, pool=4)
+        wa, wf = fused_refine_float(f, a, b, pool=4, interpret=True)
+        return max(np.abs(np.asarray(ga) - np.asarray(wa)).max(),
+                   np.abs(np.asarray(gf) - np.asarray(wf)).max()), 1e-5
+
     def k_planar_conv():
         from vidmat.ops.pallas.planar import (conv3x3_taps,
                                               conv_tap_weights,
@@ -222,6 +235,7 @@ def _bench_smoke(jax) -> dict:
     t0 = time.perf_counter()
     for name, fn in [("ingest", k_ingest), ("gf", k_gf),
                      ("composite", k_composite), ("refine", k_refine),
+                     ("refine_float", k_refine_float),
                      ("planar_conv", k_planar_conv),
                      ("planar_gru", k_planar_gru)]:
         check(name, fn)

@@ -58,6 +58,78 @@ def test_fused_tiled_tail_matches_references():
                                                       d_unt.mean())
 
 
+def test_fused_refine_float_matches_oracle():
+    """fused_refine_float (the float-output serving tail) must match the
+    XLA coefficient-resize + apply reference within float tolerance."""
+    from vidmat.ops.guided_filter import gray_guide
+    from vidmat.ops.pallas.refine_kernel import fused_refine_float
+    from vidmat.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(5)
+    h, w, pool = 64, 128, 4
+    frame = rng.randint(0, 255, (1, h, w, 3), np.uint8)
+    a_lr = rng.uniform(-1, 1, (1, h // pool, w // pool, 4)
+                       ).astype(np.float32)
+    b_lr = rng.uniform(-0.5, 1, (1, h // pool, w // pool, 4)
+                       ).astype(np.float32)
+    alpha, fgr = fused_refine_float(jnp.asarray(frame), jnp.asarray(a_lr),
+                                    jnp.asarray(b_lr), pool=pool,
+                                    interpret=True)
+    guide = gray_guide(jnp.asarray(frame).astype(jnp.float32) / 255.0)
+    A = resize_bilinear(jnp.asarray(a_lr), h, w)
+    B = resize_bilinear(jnp.asarray(b_lr), h, w)
+    out = A * guide + B
+    np.testing.assert_allclose(np.asarray(alpha),
+                               np.clip(np.asarray(out[..., 0:1]), 0, 1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fgr),
+                               np.clip(np.asarray(out[..., 1:4]), 0, 1),
+                               atol=1e-5)
+
+
+def test_float_tail_in_serving_body_matches_xla_tail():
+    """The float-output serving body with the fused float tail (interpret
+    kernels) must track the pure-XLA float body on the same weights.
+
+    Trained weights + synthetic content: random weights on noise park the
+    fgr field at the clip boundaries where the guided-filter stats are
+    ill-conditioned (eps-dominated), amplifying the benign area-pool vs
+    bilinear coarse-guide difference between the two paths."""
+    import os
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "checkpoints", "synthetic_demo")
+    if not os.path.isdir(ckpt):
+        pytest.skip("demo checkpoint not present")
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.models.weights import load_checkpoint
+
+    cfg = ModelConfig()
+    net = MattingNetwork(cfg)
+    v = load_checkpoint(ckpt, template=init_params(cfg))
+    h = w = 128
+    refine = RefineConfig(mode="guided")
+    body_k, plan_k = build_serving_body(
+        net, cfg, refine, h, w, 0.25, cdtype=jnp.float32, bg=None,
+        use_pallas=True, pallas_interpret=True, float_output=True)
+    body_x, plan_x = build_serving_body(
+        net, cfg, refine, h, w, 0.25, cdtype=jnp.float32, bg=None,
+        use_pallas=False, float_output=True)
+    frame, _ = synthetic_frame(h, w, 0.4, seed=7)
+    f = jnp.asarray(frame)[None]
+    (a_k, f_k), _ = jax.jit(body_k)(v, f, plan_k.make_state(1))
+    (a_x, f_x), _ = jax.jit(body_x)(v, f, plan_x.make_state(1))
+    # The two paths compute GF stats against slightly different coarse
+    # guides (fused ingest area-pools, the XLA path bilinear-downsamples),
+    # so pure-noise frames show small pointwise differences; the fields
+    # must still agree tightly on average and within a few u8 steps at
+    # the worst pixel.
+    da = np.abs(np.asarray(a_k) - np.asarray(a_x))
+    df = np.abs(np.asarray(f_k) - np.asarray(f_x))
+    assert da.max() < 5e-2 and da.mean() < 2e-3, (da.max(), da.mean())
+    assert df.max() < 5e-2 and df.mean() < 2e-3, (df.max(), df.mean())
+
+
 def test_pool_misaligned_tiling_raises():
     """Tile geometry that does not align with the coarse pool is invalid
     on every tiled path (fused and unfused alike) — it must fail loudly

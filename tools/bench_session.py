@@ -49,8 +49,11 @@ def main() -> None:
         for i in range(n):
             (alpha, fgr), state = stepper._step(stepper.variables,
                                                 ring[i % 4], state)
-            out = alpha
-        np.asarray(out[:, :64])  # dependent band fetch
+            out = fgr
+        # ~8 MB dependent band (tiny fetches stall on the dev tunnel —
+        # docs/PERFORMANCE.md methodology; the first cut of this tool
+        # fetched 0.5 MB and measured a bogus 28 fps).
+        np.asarray(out[:, :360])
         jax.block_until_ready(state)
         return time.perf_counter() - t0
 

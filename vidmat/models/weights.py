@@ -234,6 +234,12 @@ def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
             "the base channel plan with space_to_depth in (1, 2) and the "
             "non-recurrent trimap variant (checkpoints/).")
     variables = load_checkpoint(path, template=init_params(cfg))
+    # Commit to device ONCE: orbax restores host numpy arrays, and numpy
+    # leaves passed to a jitted step are re-transferred EVERY call — over
+    # the dev tunnel that is ~38 ms/frame of pure weight re-upload
+    # (measured; docs/PERFORMANCE.md round 3), and a silent per-call H2D
+    # on any hardware.
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
     _DEFAULT_CACHE[cfg] = variables
     return variables
 

@@ -109,9 +109,88 @@ def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
     out_ref[...] = pltpu.bitcast(word, jnp.uint32)
 
 
+def _refine_float_kernel(frame_ref, a_ref, b_ref, alpha_ref, fgr_ref, *,
+                         pool: int, th: int):
+    """Float-emitting variant of _refine_kernel: same in-VMEM banded
+    coefficient upsample + guided apply, but writes raw float32 alpha and
+    foreground planes (no background blend, no quantize, no packing) —
+    the tail for float-output serving contracts (streaming session,
+    need_fgr), where the XLA dense-interpolation coefficient resize
+    measured ~38 ms/frame at 1080p (~1% MXU efficiency; docs/
+    PERFORMANCE.md round 3)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    _, hl, wl = a_ref.shape
+    wc = alpha_ref.shape[1]
+
+    V = _row_upsample_matrix(th, hl, pool, i * th)
+    U = _col_upsample_matrix(wl, wc, pool, j * wc)
+
+    def upsample(c_ref, c):
+        lr = c_ref[c]
+        rows = jnp.dot(V, lr, preferred_element_type=jnp.float32)
+        return jnp.dot(rows, U, preferred_element_type=jnp.float32)
+
+    r = frame_ref[0].astype(jnp.int32).astype(jnp.float32)
+    g = frame_ref[1].astype(jnp.int32).astype(jnp.float32)
+    b = frame_ref[2].astype(jnp.int32).astype(jnp.float32)
+    guide = (0.299 * r + 0.587 * g + 0.114 * b) * (1.0 / 255.0)
+
+    alpha_ref[...] = jnp.clip(upsample(a_ref, 0) * guide
+                              + upsample(b_ref, 0), 0.0, 1.0)
+    for c in range(3):
+        fgr_ref[c] = jnp.clip(upsample(a_ref, c + 1) * guide
+                              + upsample(b_ref, c + 1), 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("pool", "interpret"))
+def fused_refine_float(frame_u8: jax.Array, a_lr: jax.Array,
+                       b_lr: jax.Array, pool: int = 4,
+                       interpret: bool = False):
+    """Fused coefficient-upsample + guided apply emitting float32
+    (alpha (N, H, W, 1), fgr (N, H, W, 3)) — no composite/quantize.
+
+    Same coefficient convention as fused_refine_composite."""
+    n, h, w, _ = frame_u8.shape
+    _, hl, wl, c4 = a_lr.shape
+    if (h // hl != pool) or (w // wl != pool) or c4 != 4:
+        raise ValueError("coeff grid must be full_res / pool with 4 channels")
+    th, wc = pick_refine_tiles(h, w, hl, wl, px_bytes=48)
+
+    kernel = functools.partial(_refine_float_kernel, pool=pool, th=th)
+    frame_p = jnp.transpose(frame_u8, (0, 3, 1, 2))
+    a_p = jnp.transpose(a_lr.astype(jnp.float32), (0, 3, 1, 2))
+    b_p = jnp.transpose(b_lr.astype(jnp.float32), (0, 3, 1, 2))
+
+    def one(fr, ap, bp):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((h, w), jnp.float32),
+                       jax.ShapeDtypeStruct((3, h, w), jnp.float32)),
+            grid=(h // th, w // wc),
+            in_specs=[
+                pl.BlockSpec((3, th, wc), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, hl, wl), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, hl, wl), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((th, wc), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((3, th, wc), lambda i, j: (0, i, j),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(fr, ap, bp)
+
+    alpha, fgr = jax.vmap(one)(frame_p, a_p, b_p)
+    return alpha[..., None], jnp.transpose(fgr, (0, 2, 3, 1))
+
+
 def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
                       budget: int = 13 * 2**20,
-                      has_bg_image: bool = False) -> tuple[int, int]:
+                      has_bg_image: bool = False,
+                      px_bytes: int = None) -> tuple[int, int]:
     """(th, wc) tile sizes against the 16 MB scoped-VMEM limit.
 
     The per-program resident set: both coefficient grids (constant
@@ -123,10 +202,12 @@ def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
     ((3, th, wc) f32 double-buffered; ADVICE round 2). A full-width 4K
     tile (w=3840) measured 16.06-18.66 MB — over the limit — so the grid
     tiles columns as well as rows; 6K/8K grow the grid, not the tile.
-    Both returned sizes divide (h, w)."""
+    Both returned sizes divide (h, w). px_bytes overrides the per-output-
+    pixel estimate (e.g. 48 for the float-emitting kernel's f32 planes)."""
     wl_pad = -(-wl // 128) * 128
     coeff_bytes = 2 * 2 * 4 * hl * wl_pad * 4
-    px_bytes = 48 if has_bg_image else 24
+    if px_bytes is None:
+        px_bytes = 48 if has_bg_image else 24
 
     th = 64
     while h % th:
@@ -144,15 +225,17 @@ def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
 
 def refine_tiles_fit(h: int, w: int, hl: int, wl: int,
                      budget: int = 13 * 2**20,
-                     has_bg_image: bool = False) -> bool:
+                     has_bg_image: bool = False,
+                     px_bytes: int = None) -> bool:
     """Whether ANY (th, wc) tiling fits the scoped-VMEM budget. The
     coefficient grids are tile-size-independent residents, so a small
     pool factor at a large resolution (e.g. pool=2 at 4K: 1088x1920
     coeffs = ~270 MB) cannot fit no matter the tiling — callers must
     fall back to the unfused guided path (stepfactory checks this)."""
-    th, wc = pick_refine_tiles(h, w, hl, wl, budget, has_bg_image)
+    if px_bytes is None:
+        px_bytes = 48 if has_bg_image else 24
+    th, wc = pick_refine_tiles(h, w, hl, wl, budget, px_bytes=px_bytes)
     wl_pad = -(-wl // 128) * 128
-    px_bytes = 48 if has_bg_image else 24
     return (2 * 2 * 4 * hl * wl_pad * 4 + wl * wc * 4
             + th * wc * px_bytes) <= budget
 

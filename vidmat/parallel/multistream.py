@@ -53,9 +53,11 @@ class MultiStreamMatting:
         self.h, self.w = height, width
         self.cfg = cfg
         # Shipped trained weights or a loud error — never silent
-        # random-weight serving (VERDICT r2 item 2).
-        self.variables = (variables if variables is not None
-                          else default_variables(cfg))
+        # random-weight serving (VERDICT r2 item 2); committed to device
+        # once (numpy leaves re-transfer on every jitted call).
+        self.variables = jax.tree_util.tree_map(
+            jnp.asarray, variables if variables is not None
+            else default_variables(cfg))
         cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.cdtype = cdtype
 

@@ -127,30 +127,42 @@ def build_serving_body(
     # and a coefficient grid that fits scoped VMEM (a small pool at a
     # large resolution, e.g. pool=2 at 4K, cannot — the kernel holds both
     # coeff grids resident; refine_kernel.refine_tiles_fit).
-    use_fused = (use_packed and pool > 1 and refine.mode == "guided"
-                 and not float_frames)
+    kernel_tail_ok = (use_pallas and pool > 1 and refine.mode == "guided"
+                      and not float_frames)
+    use_fused = use_packed and kernel_tail_ok
+    # Float-output / need_fgr contracts can't take the packed tail, but
+    # the SAME in-VMEM banded coefficient upsample applies via the
+    # float-emitting kernel variant (fused_refine_float): the XLA
+    # dense-interpolation coefficient resize measured ~38 ms/frame at
+    # 1080p (~1% MXU efficiency — docs/PERFORMANCE.md round 3).
+    use_float_tail = (not use_packed) and kernel_tail_ok
     # Tiled rung (BASELINE.json:10): the feathered overlap blend commutes
     # EXACTLY with the pointwise guided apply (the guide is shared across
     # tiles, so sum_i w_i (a_i g + b_i) = (sum w_i a_i) g + (sum w_i b_i))
     # — so tiling runs per-COARSE-tile GF stats, feather-blends the
     # coefficient grids at coarse res (cheap), and applies the whole-frame
-    # fused refine+composite kernel once. 4K tiled thereby runs at
-    # fused-tail speed instead of materializing full-res per-tile
-    # intermediates (VERDICT r2 item 4: 207 fps -> fused-path rate).
-    fused_tiled = bool(tile_size) and use_fused and (
-        tile_size % pool == 0 and tile_overlap % pool == 0)
-    if tile_size and not fused_tiled:
-        use_fused = False
-    if use_fused:
+    # fused kernel once. 4K tiled thereby runs at fused-tail speed instead
+    # of materializing full-res per-tile intermediates (VERDICT r2 item 4:
+    # 207 fps -> 1190).
+    if tile_size and kernel_tail_ok:
+        geom_ok = (tile_size % pool == 0 and tile_overlap % pool == 0)
+        use_fused = use_fused and geom_ok
+        use_float_tail = use_float_tail and geom_ok
+    if use_fused or use_float_tail:
         from vidmat.ops.pallas.refine_kernel import refine_tiles_fit
 
         # Per-pixel backgrounds (bg image / bg video) add a (3, th, wc)
         # f32 tile to the kernel's resident set — size with that flag so
         # the estimator never picks an unfittable tile (ADVICE round 2).
         has_bg_image = bg_dynamic or (bg is not None and jnp.ndim(bg) == 3)
-        use_fused = refine_tiles_fit(h, w, net_h, net_w,
-                                     has_bg_image=has_bg_image)
-        fused_tiled = fused_tiled and use_fused
+        if use_fused:
+            use_fused = refine_tiles_fit(h, w, net_h, net_w,
+                                         has_bg_image=has_bg_image)
+        if use_float_tail:
+            # f32 alpha+fgr output planes: 48 B per output pixel resident.
+            use_float_tail = refine_tiles_fit(h, w, net_h, net_w,
+                                              px_bytes=48)
+    fused_tiled = bool(tile_size) and (use_fused or use_float_tail)
 
     # Planar Pallas conv path (models/planar.py): the whole net runs in
     # flattened planar layout — small-channel activations never touch
@@ -216,42 +228,49 @@ def build_serving_body(
         alpha, fgr, new_state = net_apply(variables, xp, state)
         alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
         fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
-        if use_fused:
+        def fused_coeffs(x, alpha, fgr, nb):
+            """Guided-filter coefficient grids at coarse res for the
+            fused tails — whole-frame, or per-coarse-tile stats with the
+            feathered segment blend of the COEFFICIENT grids when tiling
+            (exact: the apply is pointwise in (a, b), the guide shared)."""
             from vidmat.ops.guided_filter import gray_guide
             from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
-            from vidmat.ops.pallas.refine_kernel import fused_refine_composite
 
             guide = gray_guide(x.astype(jnp.float32))
             p = jnp.concatenate([alpha, fgr], axis=-1)
             if fused_tiled:
-                # Tiled/patch inference with overlap blending
-                # (BASELINE.json:10), reformulated at coarse res: GF
-                # stats per coarse tile, feathered segment blend of the
-                # COEFFICIENT grids (exact — the apply is pointwise in
-                # (a, b) and the guide is shared), then one whole-frame
-                # fused refine+composite pass.
                 from vidmat.refine.tiling import (TileLayout, tile_frame,
                                                   untile_frame)
 
                 lr_layout = TileLayout(net_h, net_w, tile_size // pool,
                                        tile_overlap // pool)
-                nb = frame_u8.shape[0]
                 ma_t, mb_t = guided_filter_coeffs(
                     tile_frame(guide, lr_layout), tile_frame(p, lr_layout),
                     radius=refine.guided_radius, eps=refine.guided_eps,
                     interpret=pallas_interpret)
-                ma = untile_frame(ma_t, lr_layout, nb)
-                mb = untile_frame(mb_t, lr_layout, nb)
-            else:
-                ma, mb = guided_filter_coeffs(
-                    guide, p, radius=refine.guided_radius,
-                    eps=refine.guided_eps, interpret=pallas_interpret)
+                return (untile_frame(ma_t, lr_layout, nb),
+                        untile_frame(mb_t, lr_layout, nb))
+            return guided_filter_coeffs(
+                guide, p, radius=refine.guided_radius,
+                eps=refine.guided_eps, interpret=pallas_interpret)
+
+        if use_fused:
+            from vidmat.ops.pallas.refine_kernel import fused_refine_composite
+
+            ma, mb = fused_coeffs(x, alpha, fgr, frame_u8.shape[0])
             packed = fused_refine_composite(frame_u8, ma, mb, bgv,
                                             pool=pool,
                                             interpret=pallas_interpret)
             return packed, new_state
         if not full:
-            if refine.mode == "guided" and tile_size and pool:
+            if use_float_tail:
+                from vidmat.ops.pallas.refine_kernel import fused_refine_float
+
+                ma, mb = fused_coeffs(x, alpha, fgr, frame_u8.shape[0])
+                alpha, fgr = fused_refine_float(frame_u8, ma, mb,
+                                                pool=pool,
+                                                interpret=pallas_interpret)
+            elif refine.mode == "guided" and tile_size and pool:
                 # Tiled/patch full-res refine with overlap blending
                 # (BASELINE.json:10) — bounds full-res intermediates at
                 # very large resolutions.

@@ -46,9 +46,12 @@ class ImageStepper:
         self.cfg = cfg
         self.net = MattingNetwork(cfg)
         # Shipped trained weights or a loud error — never silent
-        # random-weight serving (VERDICT r2 item 2).
-        self.variables = (variables if variables is not None
-                          else default_variables(cfg))
+        # random-weight serving (VERDICT r2 item 2). tree_map(jnp.asarray)
+        # commits host-numpy checkpoints to device once (numpy leaves are
+        # re-transferred on EVERY jitted call otherwise).
+        self.variables = jax.tree_util.tree_map(
+            jnp.asarray, variables if variables is not None
+            else default_variables(cfg))
 
         @jax.jit
         def fwd(variables, frame):
@@ -106,9 +109,11 @@ class VideoStepper:
         self.h, self.w = height, width
         self.ratio = downsample_ratio
         # Shipped trained weights or a loud error — never silent
-        # random-weight serving (VERDICT r2 item 2).
-        self.variables = (variables if variables is not None
-                          else default_variables(cfg))
+        # random-weight serving (VERDICT r2 item 2); committed to device
+        # once (numpy leaves re-transfer on every jitted call).
+        self.variables = jax.tree_util.tree_map(
+            jnp.asarray, variables if variables is not None
+            else default_variables(cfg))
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self._parity = dtype != "bfloat16"
 
