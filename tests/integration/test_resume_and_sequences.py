@@ -33,6 +33,28 @@ def test_session_state_resume_bitexact():
         np.testing.assert_array_equal(a, b)
 
 
+def test_session_state_resume_cross_path_rejected():
+    """A carry saved under one serving path must not silently restore
+    into a session whose carry type differs (XLA NHWC vs planar planes
+    share field names): load_state raises a clear error instead of
+    crashing deep inside the next step()."""
+    import pytest
+
+    frames = list(synthetic_frames_only(64, 80, 3))
+    sess = vidmat.MattingSession(64, 80)  # fp32 parity path, NHWC carry
+    for f in frames:
+        sess.step(f)
+    d = os.path.join(tempfile.mkdtemp(), "carry")
+    sess.save_state(d, frame_index=3)
+
+    # Serving path at a coarse ratio: different carry grid (and, with
+    # interpret kernels, the planar carry type on the kernel path).
+    sess2 = vidmat.MattingSession(64, 80, downsample_ratio=0.25,
+                                  variables=sess._stepper.variables)
+    with pytest.raises(ValueError, match="different serving path"):
+        sess2.load_state(d)
+
+
 def test_convert_video_png_sequence_output():
     frames = list(synthetic_frames_only(64, 80, 5))
     d = tempfile.mkdtemp()

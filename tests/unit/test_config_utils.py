@@ -79,3 +79,8 @@ def test_run_metrics_chunk_accounting():
     s3 = m3.summary()
     assert s3["frames"] == 5
     assert abs(s3["fps"] - 100.0) < 1e-6  # 5 frames / 0.05 s
+    # The label must not claim every observation covers kmax frames when
+    # granularities are mixed (a reader dividing p50 by k would be ~4x
+    # wrong for the per-frame observations).
+    assert "mixed-granularity" in s3["latency_granularity"]
+    assert "[1, 4]" in s3["latency_granularity"]

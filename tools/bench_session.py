@@ -25,7 +25,8 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
-                      __file__.rsplit("/", 2)[0] + "/.jax_cache")
+                      os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                      + "/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ Conversion is mechanical because module names mirror each other:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -212,7 +212,10 @@ def default_checkpoint_path(cfg: ModelConfig) -> Optional[str]:
     return path if os.path.isdir(path) else None
 
 
-_DEFAULT_CACHE: Dict[ModelConfig, Dict[str, Any]] = {}
+# Keyed on (resolved checkpoint path, recurrence): configs differing only
+# in non-weight axes (conv_impl, bn_eps, ...) share the same restored +
+# device-committed tree instead of loading duplicate HBM copies.
+_DEFAULT_CACHE: Dict[Tuple[str, bool], Dict[str, Any]] = {}
 
 
 def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
@@ -222,9 +225,6 @@ def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
     serving with random weights emits garbage mattes, so it is refused —
     pass ``variables=vidmat.models.weights.init_params(cfg)`` to
     explicitly opt into random weights (benchmarks, tests)."""
-    cached = _DEFAULT_CACHE.get(cfg)
-    if cached is not None:
-        return cached
     path = default_checkpoint_path(cfg)
     if path is None:
         raise ValueError(
@@ -233,6 +233,10 @@ def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
             "explicitly opt into random weights). Shipped defaults cover "
             "the base channel plan with space_to_depth in (1, 2) and the "
             "non-recurrent trimap variant (checkpoints/).")
+    key = (path, cfg.recurrent)
+    cached = _DEFAULT_CACHE.get(key)
+    if cached is not None:
+        return cached
     variables = load_checkpoint(path, template=init_params(cfg))
     # Commit to device ONCE: orbax restores host numpy arrays, and numpy
     # leaves passed to a jitted step are re-transferred EVERY call — over
@@ -240,7 +244,7 @@ def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
     # (measured; docs/PERFORMANCE.md round 3), and a silent per-call H2D
     # on any hardware.
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
-    _DEFAULT_CACHE[cfg] = variables
+    _DEFAULT_CACHE[key] = variables
     return variables
 
 

@@ -67,12 +67,15 @@ def _row_upsample_matrix(th: int, hl: int, pool: int, r0):
                      jnp.where(lcol == li + 1, frac, 0.0))
 
 
-def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
-                   th: int, bg_mode: str = "color"):
+def _tail_prologue(frame_ref, a_ref, pool: int, th: int, wc: int):
+    """Shared prologue of both refine-tail kernels: banded row/column
+    upsample matrices for this program's output tile, the in-register
+    luma guide, and the coefficient-upsample closure. The packed and the
+    float-emitting tails MUST agree on these (half-pixel semantics, luma
+    coefficients) — one implementation keeps them from diverging."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     _, hl, wl = a_ref.shape
-    wc = out_ref.shape[1]
 
     V = _row_upsample_matrix(th, hl, pool, i * th)
     U = _col_upsample_matrix(wl, wc, pool, j * wc)
@@ -87,6 +90,13 @@ def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
     g = frame_ref[1].astype(jnp.int32).astype(jnp.float32)
     b = frame_ref[2].astype(jnp.int32).astype(jnp.float32)
     guide = (0.299 * r + 0.587 * g + 0.114 * b) * (1.0 / 255.0)
+    return guide, upsample
+
+
+def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
+                   th: int, bg_mode: str = "color"):
+    guide, upsample = _tail_prologue(frame_ref, a_ref, pool, th,
+                                     out_ref.shape[1])
 
     alpha = jnp.clip(upsample(a_ref, 0) * guide + upsample(b_ref, 0),
                      0.0, 1.0)
@@ -118,23 +128,8 @@ def _refine_float_kernel(frame_ref, a_ref, b_ref, alpha_ref, fgr_ref, *,
     need_fgr), where the XLA dense-interpolation coefficient resize
     measured ~38 ms/frame at 1080p (~1% MXU efficiency; docs/
     PERFORMANCE.md round 3)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    _, hl, wl = a_ref.shape
-    wc = alpha_ref.shape[1]
-
-    V = _row_upsample_matrix(th, hl, pool, i * th)
-    U = _col_upsample_matrix(wl, wc, pool, j * wc)
-
-    def upsample(c_ref, c):
-        lr = c_ref[c]
-        rows = jnp.dot(V, lr, preferred_element_type=jnp.float32)
-        return jnp.dot(rows, U, preferred_element_type=jnp.float32)
-
-    r = frame_ref[0].astype(jnp.int32).astype(jnp.float32)
-    g = frame_ref[1].astype(jnp.int32).astype(jnp.float32)
-    b = frame_ref[2].astype(jnp.int32).astype(jnp.float32)
-    guide = (0.299 * r + 0.587 * g + 0.114 * b) * (1.0 / 255.0)
+    guide, upsample = _tail_prologue(frame_ref, a_ref, pool, th,
+                                     alpha_ref.shape[1])
 
     alpha_ref[...] = jnp.clip(upsample(a_ref, 0) * guide
                               + upsample(b_ref, 0), 0.0, 1.0)

@@ -49,6 +49,12 @@ class MultiStreamMatting:
                  pallas_interpret: bool = False):
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16")
+        if mesh is not None and num_streams % mesh.devices.size:
+            # Cheap precondition first — before the (possibly raising,
+            # seconds-long) default-checkpoint restore below.
+            raise ValueError(
+                f"num_streams={num_streams} must divide evenly over the "
+                f"{mesh.devices.size}-device mesh (per-device local batch)")
         self.s = num_streams
         self.h, self.w = height, width
         self.cfg = cfg
@@ -65,10 +71,6 @@ class MultiStreamMatting:
                              else None)
         bg = jnp.asarray(bg_color, jnp.float32) if bg_color is not None else None
 
-        if mesh is not None and num_streams % mesh.devices.size:
-            raise ValueError(
-                f"num_streams={num_streams} must divide evenly over the "
-                f"{mesh.devices.size}-device mesh (per-device local batch)")
         # Shared serving body (vidmat.pipeline.stepfactory) — one
         # implementation with pipeline/video.py and bench.py. The meshed
         # path runs the SAME body under jax.shard_map over the stream

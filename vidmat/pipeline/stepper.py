@@ -183,6 +183,22 @@ class VideoStepper:
                               else {})}
         carry = load_checkpoint(path, template=template)
         if carry["state"]:
+            # The carry TYPE is serving-path-dependent (NHWC RecurrentState
+            # on the XLA path vs planar (C, TOTAL) planes) but both share
+            # field names, so a carry saved under a different path/config
+            # restores silently and then crashes deep in the next step()
+            # with an opaque shape assert — validate here instead.
+            cur = self.state._asdict()
+            for k, v in carry["state"].items():
+                if tuple(np.shape(v)) != tuple(cur[k].shape):
+                    raise ValueError(
+                        f"saved carry field {k!r} has shape "
+                        f"{tuple(np.shape(v))} but this session's serving "
+                        f"path expects {tuple(cur[k].shape)}: the carry was "
+                        "saved on a different serving path or config (XLA "
+                        "NHWC and planar carries are not interchangeable — "
+                        "resume with the same dtype/backend/preset it was "
+                        "saved under)")
             self.state = type(self.state)(
                 **{k: jnp.asarray(v, self.dtype)
                    for k, v in carry["state"].items()})

@@ -57,9 +57,18 @@ class RunMetrics:
                 p50_ms=float(np.percentile(t, 50) * 1e3),
                 p99_ms=float(np.percentile(t, 99) * 1e3),
             )
-            kmax = max(ks)
-            if kmax > 1:
-                out["latency_granularity"] = f"per-{kmax}-frame-dispatch"
+            kset = set(ks)
+            if kset != {1}:
+                # Label honestly: uniform K -> per-K-frame-dispatch; a mixed
+                # run (chunked body + per-frame tail drain) must not imply
+                # every percentile observation covers K frames.
+                if len(kset) == 1:
+                    out["latency_granularity"] = (
+                        f"per-{ks[0]}-frame-dispatch")
+                else:
+                    out["latency_granularity"] = (
+                        "mixed-granularity dispatch (k in "
+                        f"{sorted(kset)}; percentiles are per-dispatch)")
         out["wall_s"] = time.perf_counter() - self._t0
         return out
 
