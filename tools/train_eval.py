@@ -22,7 +22,11 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU by default (deterministic, no chip contention); pass --platform=
+# to train on the ambient backend (e.g. the TPU tunnel — the tiny
+# synthetic batches still step ~10x faster there than on CPU).
+if "--platform" not in " ".join(sys.argv):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
 def evaluate(cfg, variables) -> float:
@@ -42,7 +46,6 @@ def evaluate(cfg, variables) -> float:
 def main():
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--s2d", type=int, default=2)
     ap.add_argument("--size", type=int, default=128)
@@ -63,7 +66,17 @@ def main():
     ap.add_argument("--laplacian", type=float, default=0.0,
                     help="Laplacian-pyramid alpha loss weight")
     ap.add_argument("--out", default="checkpoints/fast_demo")
+    ap.add_argument("--platform", default="cpu",
+                    help="'cpu' (default) or '' to use the ambient "
+                         "backend (TPU tunnel)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))) + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
 
     import optax
 
