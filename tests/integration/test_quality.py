@@ -163,10 +163,12 @@ def test_errormap_refiner_checkpoint_improves_upsample():
 
 def test_fast_s2d_checkpoint_quality():
     """The serving-optimized s2d=2 variant's trained checkpoint must matte
-    held-out clips within ~3x of its trained held-out MAD (0.0015, round-2
-    mixed-resolution recipe: BN batch stats + 96/128/160 round-robin +
-    Laplacian fine-tune; tools/train_eval.py). Round-1 shipped 0.033 with
-    a 0.05 gate — the recipe gap is closed (VERDICT r1 item 2)."""
+    held-out clips within ~3x of its trained held-out MAD (0.0009, round-3
+    extended cosine-cycle fine-tune on the round-2 mixed-resolution recipe:
+    BN batch stats + 96/128/160 round-robin + Laplacian;
+    tools/train_eval.py). Round-1 shipped 0.033 with a 0.05 gate; round-2
+    0.0015 with a 0.005 gate — the recipe gap is closed (VERDICT r1
+    item 2)."""
     ckpt = os.path.join(os.path.dirname(CKPT), "fast_demo")
     if not os.path.isdir(ckpt):
         pytest.skip("fast checkpoint not present")
@@ -181,4 +183,4 @@ def test_fast_s2d_checkpoint_quality():
     sess = MattingSession(160, 160, variables=v, model_cfg=cfg)
     mads = [mad(sess.step(f)[0], gt)
             for f, gt in synthetic_clip(160, 160, 6, seed=987654)]
-    assert np.mean(mads) < 0.005, np.mean(mads)
+    assert np.mean(mads) < 0.0025, np.mean(mads)
