@@ -1,0 +1,102 @@
+"""Pipeline-parallel stage-overlap serving tests (SURVEY.md §2.2 "PP") on
+a 2-device slice of the virtual 8-CPU-device mesh, with interpret-mode
+Pallas kernels — the same real-kernel-path strategy as the multistream
+mesh tests."""
+
+import numpy as np
+
+import jax
+import pytest
+
+from vidmat.config import ModelConfig, RefineConfig
+from vidmat.parallel.mesh import make_mesh
+from vidmat.parallel.multistream import MultiStreamMatting
+from vidmat.parallel.pp import PipelinedMatting
+
+BG = (0.1, 0.7, 0.3)
+
+
+def _mesh2():
+    return make_mesh(("pp",), devices=jax.devices()[:2])
+
+
+def _frames(n, h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 255, (h, w, 3), np.uint8) for _ in range(n)]
+
+
+def test_pipelined_matches_single_device():
+    """The 2-stage pipeline must serve bit-identically (+-1 u8 across
+    separately compiled programs) to single-device fused serving, with
+    the documented one-frame skew: step(f_t) returns the output for
+    f_{t-1}, and flush() drains the last frame."""
+    cfg = ModelConfig(conv_impl="planar")
+    h = w = 64
+    pp = PipelinedMatting(h, w, _mesh2(), cfg=cfg, dtype="float32",
+                          downsample_ratio=0.5, bg_color=BG,
+                          pallas_interpret=True)
+    one = MultiStreamMatting(1, h, w, cfg=cfg, variables=pp.variables,
+                             dtype="float32", pallas_interpret=True,
+                             use_pallas=True, downsample_ratio=0.5,
+                             bg_color=BG)
+    frames = _frames(5, h, w)
+    ref = [one.step(f[None]) for f in frames]
+
+    outs = []
+    for f in frames:
+        r = pp.step(f)
+        if r is not None:
+            outs.append(r)
+    outs.append(pp.flush())
+    assert pp.step(frames[0]) is not None  # pipe stays primed after flush
+
+    assert len(outs) == len(frames)
+    for (a_pp, rgba_pp), (a_1, rgba_1) in zip(outs, ref):
+        assert np.abs(a_pp.astype(int) - a_1[0].astype(int)).max() <= 1
+        assert np.abs(rgba_pp.astype(int) - rgba_1[0].astype(int)).max() <= 1
+
+
+def test_pipelined_convert_alignment_and_chunking():
+    """convert() hides the skew: exactly one aligned output per input,
+    for clip lengths that do and don't divide the chunk, and chunked
+    dispatch (lax.scan inside the shard_map) matches per-frame."""
+    cfg = ModelConfig(conv_impl="planar")
+    h = w = 64
+    mesh = _mesh2()
+    pp1 = PipelinedMatting(h, w, mesh, cfg=cfg, dtype="float32",
+                           downsample_ratio=0.5, bg_color=BG,
+                           pallas_interpret=True)
+    ppk = PipelinedMatting(h, w, mesh, cfg=cfg, variables=pp1.variables,
+                           dtype="float32", downsample_ratio=0.5,
+                           bg_color=BG, chunk=3, pallas_interpret=True)
+    for n in (5, 6, 2):
+        frames = _frames(n, h, w, seed=n)
+        o1 = list(pp1.convert(frames))
+        ok = list(ppk.convert(frames))
+        assert len(o1) == n and len(ok) == n
+        for (a1, r1), (ak, rk) in zip(o1, ok):
+            assert np.abs(r1.astype(int) - rk.astype(int)).max() <= 1
+
+
+def test_pipelined_reset_reproducible():
+    cfg = ModelConfig(conv_impl="planar")
+    h = w = 64
+    pp = PipelinedMatting(h, w, _mesh2(), cfg=cfg, dtype="float32",
+                          downsample_ratio=0.5, bg_color=BG,
+                          pallas_interpret=True)
+    frames = _frames(4, h, w, seed=7)
+    a = [r for r in pp.convert(frames)]
+    b = [r for r in pp.convert(frames)]
+    for (aa, ar), (ba, br) in zip(a, b):
+        np.testing.assert_array_equal(ar, br)
+
+
+def test_pipelined_preconditions():
+    cfg = ModelConfig(conv_impl="planar")
+    with pytest.raises(ValueError, match="2 devices"):
+        PipelinedMatting(64, 64, make_mesh(("pp",), devices=jax.devices()),
+                         cfg=cfg, pallas_interpret=True)
+    # Full-res serving (pool=1) has no coefficient boundary to cut at.
+    with pytest.raises(ValueError, match="fused tail"):
+        PipelinedMatting(64, 64, _mesh2(), cfg=cfg, downsample_ratio=1.0,
+                         pallas_interpret=True)

@@ -34,6 +34,10 @@ def __getattr__(name):
         from vidmat.parallel.mesh import make_mesh
 
         return make_mesh
+    if name == "PipelinedMatting":
+        from vidmat.parallel.pp import PipelinedMatting
+
+        return PipelinedMatting
     if name == "MattingNetwork":
         from vidmat.models.matting_net import MattingNetwork
 

@@ -39,8 +39,9 @@ class ModelConfig:
     # Conv execution path: "xla" (Flax/XLA convs) or "planar" (the planar
     # Pallas kernel forward, models/planar.py — same variables, small-
     # channel activations never touch lane-padded NHWC in HBM). "planar"
-    # applies on the batch-1 TPU serving path; training, parity oracles,
-    # and batched/meshed serving always run "xla".
+    # serves batch-1 (vidmat.api), vmapped batches (multistream), and
+    # per-device under shard_map on a mesh; training and the parity
+    # oracles always run "xla".
     conv_impl: str = "xla"
 
     @property

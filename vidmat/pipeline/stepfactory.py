@@ -48,6 +48,14 @@ class ServingPlan:
     # non-recurrent). The carry TYPE depends on the conv path: NHWC
     # RecurrentState for "xla", planar planes for "planar".
     make_state: object = None
+    # Pipeline-parallel stage split of the fused path (set only when the
+    # body takes the fully fused tail). The one-shot body composes these
+    # two, so a 2-device pipeline built from them is bit-identical to
+    # single-device serving by construction (parallel/pp.py):
+    #   fused_stage0(variables, frame_u8, state) -> (ma, mb), new_state
+    #   fused_stage1(frame_u8, ma, mb, bgv) -> (N, H, W) uint32 packed
+    fused_stage0: object = None
+    fused_stage1: object = None
 
 
 def build_serving_body(
@@ -209,17 +217,22 @@ def build_serving_body(
 
         return init_state(model_cfg, batch, state_h, state_w, cdtype)
 
-    def body_impl(variables, frame_u8, state, bgv):
+    def coarse_forward(variables, frame_u8, state):
+        """Ingest + recurrent net forward — the coarse half of the chain,
+        shared by the one-shot body and the pipeline-parallel stage split.
+
+        Returns (x (N, net_h, net_w, C) coarse frame, alpha, fgr (f32,
+        coarse res), new_state)."""
         # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
         # (float_frames: the input is already float32 in [0, 1].)
-        frame = (frame_u8.astype(jnp.float32) if float_frames
-                 else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
         if use_pallas and pool and not float_frames:
             from vidmat.ops.pallas import ingest_pool_normalize
 
             x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype,
                                       interpret=pallas_interpret)
         else:
+            frame = (frame_u8.astype(jnp.float32) if float_frames
+                     else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
             x = frame.astype(cdtype)
             if not full:
                 x = resize_bilinear(x, net_h, net_w)
@@ -228,40 +241,56 @@ def build_serving_body(
         alpha, fgr, new_state = net_apply(variables, xp, state)
         alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
         fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
-        def fused_coeffs(x, alpha, fgr, nb):
-            """Guided-filter coefficient grids at coarse res for the
-            fused tails — whole-frame, or per-coarse-tile stats with the
-            feathered segment blend of the COEFFICIENT grids when tiling
-            (exact: the apply is pointwise in (a, b), the guide shared)."""
-            from vidmat.ops.guided_filter import gray_guide
-            from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
+        return x, alpha, fgr, new_state
 
-            guide = gray_guide(x.astype(jnp.float32))
-            p = jnp.concatenate([alpha, fgr], axis=-1)
-            if fused_tiled:
-                from vidmat.refine.tiling import (TileLayout, tile_frame,
-                                                  untile_frame)
+    def fused_coeffs(x, alpha, fgr, nb):
+        """Guided-filter coefficient grids at coarse res for the
+        fused tails — whole-frame, or per-coarse-tile stats with the
+        feathered segment blend of the COEFFICIENT grids when tiling
+        (exact: the apply is pointwise in (a, b), the guide shared)."""
+        from vidmat.ops.guided_filter import gray_guide
+        from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
 
-                lr_layout = TileLayout(net_h, net_w, tile_size // pool,
-                                       tile_overlap // pool)
-                ma_t, mb_t = guided_filter_coeffs(
-                    tile_frame(guide, lr_layout), tile_frame(p, lr_layout),
-                    radius=refine.guided_radius, eps=refine.guided_eps,
-                    interpret=pallas_interpret)
-                return (untile_frame(ma_t, lr_layout, nb),
-                        untile_frame(mb_t, lr_layout, nb))
-            return guided_filter_coeffs(
-                guide, p, radius=refine.guided_radius,
-                eps=refine.guided_eps, interpret=pallas_interpret)
+        guide = gray_guide(x.astype(jnp.float32))
+        p = jnp.concatenate([alpha, fgr], axis=-1)
+        if fused_tiled:
+            from vidmat.refine.tiling import (TileLayout, tile_frame,
+                                              untile_frame)
 
+            lr_layout = TileLayout(net_h, net_w, tile_size // pool,
+                                   tile_overlap // pool)
+            ma_t, mb_t = guided_filter_coeffs(
+                tile_frame(guide, lr_layout), tile_frame(p, lr_layout),
+                radius=refine.guided_radius, eps=refine.guided_eps,
+                interpret=pallas_interpret)
+            return (untile_frame(ma_t, lr_layout, nb),
+                    untile_frame(mb_t, lr_layout, nb))
+        return guided_filter_coeffs(
+            guide, p, radius=refine.guided_radius,
+            eps=refine.guided_eps, interpret=pallas_interpret)
+
+    # Stage split of the fused path (ServingPlan.fused_stage0/1): the
+    # one-shot body below composes exactly these two functions, so the
+    # 2-device stage pipeline (parallel/pp.py) serves bit-identically to
+    # single-device serving by construction.
+    def fused_stage0(variables, frame_u8, state):
+        x, alpha, fgr, new_state = coarse_forward(variables, frame_u8, state)
+        return fused_coeffs(x, alpha, fgr, frame_u8.shape[0]), new_state
+
+    def fused_stage1(frame_u8, ma, mb, bgv):
+        from vidmat.ops.pallas.refine_kernel import fused_refine_composite
+
+        return fused_refine_composite(frame_u8, ma, mb, bgv, pool=pool,
+                                      interpret=pallas_interpret)
+
+    def body_impl(variables, frame_u8, state, bgv):
         if use_fused:
-            from vidmat.ops.pallas.refine_kernel import fused_refine_composite
-
-            ma, mb = fused_coeffs(x, alpha, fgr, frame_u8.shape[0])
-            packed = fused_refine_composite(frame_u8, ma, mb, bgv,
-                                            pool=pool,
-                                            interpret=pallas_interpret)
-            return packed, new_state
+            (ma, mb), new_state = fused_stage0(variables, frame_u8, state)
+            return fused_stage1(frame_u8, ma, mb, bgv), new_state
+        # float frame for the guided/errormap/bilinear tails below.
+        frame = (frame_u8.astype(jnp.float32) if float_frames
+                 else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
+        x, alpha, fgr, new_state = coarse_forward(variables, frame_u8, state)
         if not full:
             if use_float_tail:
                 from vidmat.ops.pallas.refine_kernel import fused_refine_float
@@ -322,5 +351,7 @@ def build_serving_body(
 
     plan = ServingPlan(net_h=net_h, net_w=net_w, state_h=state_h,
                        state_w=state_w, pool=pool,
-                       packed=use_packed, full=full, make_state=make_state)
+                       packed=use_packed, full=full, make_state=make_state,
+                       fused_stage0=fused_stage0 if use_fused else None,
+                       fused_stage1=fused_stage1 if use_fused else None)
     return body, plan
