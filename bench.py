@@ -232,12 +232,51 @@ def _bench_smoke(jax) -> dict:
         want = np.asarray(planar_gru(*args, interpret=True))
         return np.abs(got - want).max(), 1e-4
 
+    def k_planar_conv2():
+        # Both fused-pair tap layouts of models/planar.py (round 3):
+        # encoder stage (stride-2 as 4-tap on the packed plane -> 3x3)
+        # and d0+head (3x3 -> 3x3).
+        from vidmat.models.matting_net import space_to_depth
+        from vidmat.ops.pallas.planar import (conv3x3_taps,
+                                              conv_tap_weights,
+                                              interior_mask, planar_conv2,
+                                              stride2_taps,
+                                              stride2_tap_weights,
+                                              to_planar)
+
+        h, w, ci, cm, co = 32, 240, 6, 8, 8
+        x = jnp.asarray(rng.randn(1, h, w, ci).astype(np.float32))
+        ka = jnp.asarray(rng.randn(3, 3, ci, cm).astype(np.float32) * 0.2)
+        kb = jnp.asarray(rng.randn(3, 3, cm, co).astype(np.float32) * 0.2)
+        s1 = jnp.ones((cm, 1), jnp.float32)
+        b1 = jnp.zeros((cm, 1), jnp.float32)
+        s2 = jnp.ones((co, 1), jnp.float32)
+        b2 = jnp.zeros((co, 1), jnp.float32)
+        worst = 0.0
+        # encoder-stage layout
+        args = ([to_planar(space_to_depth(x, 2))],
+                [stride2_tap_weights(ka, ci)], stride2_taps(w // 2),
+                s1, b1, conv_tap_weights(kb), conv3x3_taps(w // 2),
+                s2, b2, interior_mask(h // 2, w // 2))
+        got = np.asarray(planar_conv2(*args))
+        want = np.asarray(planar_conv2(*args, interpret=True))
+        worst = max(worst, np.abs(got - want).max())
+        # d0+head layout
+        kc = jnp.asarray(rng.randn(3, 3, ci, cm).astype(np.float32) * 0.2)
+        args = ([to_planar(x)], [conv_tap_weights(kc)], conv3x3_taps(w),
+                s1, b1, conv_tap_weights(kb), conv3x3_taps(w),
+                s2, b2, interior_mask(h, w))
+        got = np.asarray(planar_conv2(*args, act2="none"))
+        want = np.asarray(planar_conv2(*args, act2="none", interpret=True))
+        return max(worst, np.abs(got - want).max()), 1e-4
+
     t0 = time.perf_counter()
     for name, fn in [("ingest", k_ingest), ("gf", k_gf),
                      ("composite", k_composite), ("refine", k_refine),
                      ("refine_float", k_refine_float),
                      ("planar_conv", k_planar_conv),
-                     ("planar_gru", k_planar_gru)]:
+                     ("planar_gru", k_planar_gru),
+                     ("planar_conv2", k_planar_conv2)]:
         check(name, fn)
     n_total = len(report)
     n_ok = n_total - len(failed)

@@ -180,3 +180,36 @@ def test_planar_conv2_matches_two_convs():
     got = planar_conv2(xs, ws, taps, s1, b1, w2, taps, s2, b2, mask,
                        act="relu", act2="none", interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_planar_conv2_stride2_then_conv3():
+    """Mixed-tap fusion (encoder stage: stride-2 as 4-tap on the packed
+    plane, then 3x3 at the new grid) must be bit-identical to the
+    two-call chain — the models/planar.py enc_stage fused path."""
+    from vidmat.models.matting_net import space_to_depth
+    from vidmat.ops.pallas.planar import conv2_fits, planar_conv2
+
+    rng = np.random.RandomState(11)
+    h, w, ci, cm, co = 24, 40, 5, 6, 4
+    x = jnp.asarray(rng.randn(1, h, w, ci).astype(np.float32))
+    ka = jnp.asarray(rng.randn(3, 3, ci, cm).astype(np.float32) * 0.3)
+    kb = jnp.asarray(rng.randn(3, 3, cm, co).astype(np.float32) * 0.3)
+    s1 = jnp.asarray(rng.rand(cm, 1).astype(np.float32) + 0.5)
+    b1 = jnp.asarray(rng.randn(cm, 1).astype(np.float32) * 0.1)
+    s2 = jnp.asarray(rng.rand(co, 1).astype(np.float32) + 0.5)
+    b2 = jnp.asarray(rng.randn(co, 1).astype(np.float32) * 0.1)
+
+    xp = to_planar(space_to_depth(x, 2))
+    tA, tB = stride2_taps(w // 2), conv3x3_taps(w // 2)
+    assert conv2_fits(tA, tB)
+    mask = interior_mask(h // 2, w // 2)
+    ws = [stride2_tap_weights(ka, ci)]
+    w2 = conv_tap_weights(kb)
+
+    mid = planar_conv([xp], ws, tA, s1, b1, mask, act="relu",
+                      interpret=True)
+    want = planar_conv([mid], [w2], tB, s2, b2, mask, act="relu",
+                       interpret=True)
+    got = planar_conv2([xp], ws, tA, s1, b1, w2, tB, s2, b2, mask,
+                       act="relu", act2="relu", interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

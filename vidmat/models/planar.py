@@ -33,10 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from vidmat.config import ModelConfig
-from vidmat.ops.pallas.planar import (BLOCK, conv1x1_taps, conv3x3_taps,
-                                      conv_tap_weights, fold_bn,
-                                      interior_mask, planar_conv, planar_gru,
-                                      plane_sizes, stride2_taps)
+from vidmat.ops.pallas.planar import (BLOCK, conv1x1_taps, conv2_fits,
+                                      conv3x3_taps, conv_tap_weights,
+                                      fold_bn, interior_mask, planar_conv,
+                                      planar_conv2, planar_gru, plane_sizes,
+                                      stride2_taps)
 
 
 # ---- XLA glue on planar grids ----
@@ -216,7 +217,8 @@ def batch_planar_forward(forward):
 
 
 def build_planar_forward(cfg: ModelConfig, height: int, width: int,
-                         dtype=jnp.bfloat16, interpret: bool = False):
+                         dtype=jnp.bfloat16, interpret: bool = False,
+                         fuse_pairs: bool = True):
     """Build forward(variables, frame, state) -> (alpha, fgr, new_state)
     for a fixed (height, width) frame bucket (divisible by 16 *
     space_to_depth).
@@ -225,6 +227,14 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
     state: PlanarState (planar_init_state) or None (cold start).
     alpha/fgr: (1, height, width, 1/3) float32 — identical contract to
     MattingNetwork.apply (matting_net.py MattingNetwork.__call__).
+
+    fuse_pairs: run adjacent conv pairs (encoder s2a+s2b / s3a+s3b /
+    s4a+s4b, and d0+head) as single planar_conv2 kernels — the stride-2
+    conv is already a stride-1 4-tap conv on the packed plane, so both
+    convs of each pair share a grid. Bit-identical to the two-call chain
+    (the mid plane simply stays in VMEM); per-site it applies only where
+    the combined halo fits the lane chunk (conv2_fits — at full-res-1080p
+    level-0 pitches the pair falls back to two calls).
     """
     s = cfg.space_to_depth
     assert height % (16 * s) == 0 and width % (16 * s) == 0
@@ -232,8 +242,14 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
     masks = [interior_mask(h, w) for (h, w) in g]
     taps3 = [conv3x3_taps(w) for (_, w) in g]
     taps2 = [stride2_taps(w // 2) for (_, w) in g[:4]]
+    # Static per-site fusion decisions (pair = stride2 conv at `level`
+    # feeding the 3x3 at level+1; d0 = the level-0 3x3 pair d0+head).
+    fuse_enc = {lvl: fuse_pairs and conv2_fits(taps2[lvl], taps3[lvl + 1])
+                for lvl in (1, 2, 3)}
+    fuse_d0 = fuse_pairs and conv2_fits(taps3[0], taps3[0])
     eps = cfg.bn_eps
     kconv = functools.partial(planar_conv, interpret=interpret)
+    kconv2 = functools.partial(planar_conv2, interpret=interpret)
     kgru = functools.partial(planar_gru, interpret=interpret)
 
     def cba_w(p, st):
@@ -272,21 +288,31 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
             return kconv(planes, ws, taps3[level], scale, bias,
                          masks[level], act=act)
 
+        def enc_stage(plane, level, name_a, name_b):
+            """Encoder stage: stride-2 ConvBNAct (level -> level+1) + 3x3
+            ConvBNAct at level+1 — one fused planar_conv2 kernel when the
+            combined halo fits (the mid feature plane stays in VMEM),
+            else the two-call chain (bit-identical either way)."""
+            ka, sa, ba = cba_w(enc_p[name_a], enc_s[name_a])
+            kb, sb, bb = cba_w(enc_p[name_b], enc_s[name_b])
+            if fuse_enc[level]:
+                h_, w_ = g[level]
+                packed = grid_to_plane(
+                    s2d_grid(plane_to_grid(plane, h_, w_), 2))
+                wst = stride2_tap_weights_jnp(ka, ka.shape[2], dtype)
+                return kconv2([packed], [wst], taps2[level], sa, ba,
+                              conv_tap_weights(kb, dtype), taps3[level + 1],
+                              sb, bb, masks[level + 1], act="relu",
+                              act2="relu")
+            f = stride2_conv(plane, level, ka, sa, ba)
+            return conv3([f], level + 1, kb, sb, bb, (kb.shape[2],))
+
         # ---- encoder (matting_net.py Encoder: stem + s2a/b + s3a/b + s4a/b)
         k, sc, bi = cba_w(enc_p["stem"], enc_s["stem"])
         f1 = stride2_conv(x_in, 0, k, sc, bi)
-        k, sc, bi = cba_w(enc_p["s2a"], enc_s["s2a"])
-        f2 = stride2_conv(f1, 1, k, sc, bi)
-        k, sc, bi = cba_w(enc_p["s2b"], enc_s["s2b"])
-        f2 = conv3([f2], 2, k, sc, bi, (k.shape[2],))
-        k, sc, bi = cba_w(enc_p["s3a"], enc_s["s3a"])
-        f3 = stride2_conv(f2, 2, k, sc, bi)
-        k, sc, bi = cba_w(enc_p["s3b"], enc_s["s3b"])
-        f3 = conv3([f3], 3, k, sc, bi, (k.shape[2],))
-        k, sc, bi = cba_w(enc_p["s4a"], enc_s["s4a"])
-        f4 = stride2_conv(f3, 3, k, sc, bi)
-        k, sc, bi = cba_w(enc_p["s4b"], enc_s["s4b"])
-        f4 = conv3([f4], 4, k, sc, bi, (k.shape[2],))
+        f2 = enc_stage(f1, 1, "s2a", "s2b")
+        f3 = enc_stage(f2, 2, "s3a", "s3b")
+        f4 = enc_stage(f3, 3, "s4a", "s4b")
 
         # ---- bottleneck gate (layers.py BottleneckGate)
         bp, bs = prm["bottleneck"], stt["bottleneck"]
@@ -348,17 +374,27 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         k, sc, bi = cba_w(prm["d0"], stt["d0"])
         splits = tuple(pl_.shape[0] for pl_ in ups) + (
             c_in0 if s > 1 else 3,)
-        x = conv3(ups + [cond], 0, k, sc, bi, splits)
-
         hk = prm["head"]["kernel"]
         hb = prm["head"]["bias"].astype(jnp.float32)[:, None]
         ones = jnp.ones((hk.shape[3], 1), jnp.float32)
-        # d0 + head stay as two planar_conv calls: the fused alternative
-        # (planar_conv2) measured a WASH here — at the coarse serving grid
-        # the mid plane is only ~1.4 MB, and the fused kernel's 8-row mask
-        # ref reads back what the skipped round trip saves (cost_analysis:
-        # 182.8 vs 180.2 MB/frame; docs/PERFORMANCE.md round-2 note).
-        out = conv3([x], 0, hk, ones, hb, (hk.shape[2],), act="none")
+        if fuse_d0:
+            # d0 + head as one fused kernel. Round 2 measured this pair a
+            # traffic WASH (the f32 mask8 ref read back what the skipped
+            # mid round trip saved); with the mask operand in the plane
+            # dtype the byte balance turns positive, and the saved kernel
+            # launch is wall-clock the pair-fusion benchmark measures
+            # (docs/PERFORMANCE.md round 3).
+            ws0 = []
+            o = 0
+            for csz in splits:
+                ws0.append(conv_tap_weights(k[:, :, o:o + csz], dtype))
+                o += csz
+            out = kconv2(ups + [cond], ws0, taps3[0], sc, bi,
+                         conv_tap_weights(hk, dtype), taps3[0], ones, hb,
+                         masks[0], act="relu", act2="none")
+        else:
+            x = conv3(ups + [cond], 0, k, sc, bi, splits)
+            out = conv3([x], 0, hk, ones, hb, (hk.shape[2],), act="none")
 
         og = plane_to_grid(out, *g[0]).astype(jnp.float32)
         if s > 1:

@@ -215,6 +215,15 @@ def planar_conv(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
     )(*xs, *ws, scale, bias, mask)
 
 
+def conv2_fits(taps, taps2) -> bool:
+    """True when a fused two-conv chain (planar_conv2) over these tap
+    structures fits the BLOCK lane-chunk: the chunk must cover the
+    combined halo-extended window (both convs' reach, 128-aligned). False
+    at very large pitches (e.g. level-0 of a full-res 1080p net), where
+    the caller must keep the two-call chain."""
+    return BLOCK >= _align128(taps_halo(taps) + taps_halo(taps2))
+
+
 def _conv2_kernel(*refs, taps, taps2, n_in, act, act2, block, halo, align):
     """Fused two-conv chain: y = conv2(act(affine1(conv1(xs)))).
 
@@ -306,7 +315,11 @@ def planar_conv2(xs: Sequence[jax.Array], ws: Sequence[jax.Array], taps,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     chunk = pl.BlockSpec((1, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    mask8 = jnp.broadcast_to(mask, (8, total))  # see _conv2_kernel mask note
+    # See the _conv2_kernel mask note (8 sublane rows). Carried in the
+    # PLANE dtype: 0/1 is exact in bf16, and the full-ref read is half the
+    # f32 traffic — the read that made the d0+head fusion a traffic wash
+    # in round 2 (docs/PERFORMANCE.md).
+    mask8 = jnp.broadcast_to(mask.astype(xs[0].dtype), (8, total))
     return pl.pallas_call(
         kernel,
         grid=(total // BLOCK,),

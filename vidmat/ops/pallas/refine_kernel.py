@@ -67,23 +67,67 @@ def _row_upsample_matrix(th: int, hl: int, pool: int, r0):
                      jnp.where(lcol == li + 1, frac, 0.0))
 
 
-def _tail_prologue(frame_ref, a_ref, pool: int, th: int, wc: int):
+def _split_dot(x, y):
+    """x @ y with explicit bf16 MXU passes at near-f32 precision: each
+    operand splits into bf16 hi + bf16 lo (the rounding residual), and the
+    three significant cross terms accumulate in f32 (the lo@lo term is
+    O(2^-16) relative). MEASURED SLOWER than plain f32 dots on v5e
+    (tools/bench_tail_kernels.py) — Mosaic already lowers f32 dots as
+    ~3-pass bf16 (~1/3 peak rate, ~2^-19 effective precision; the
+    measured 125 TFLOP/s and the 1e-5 compiled-vs-interpret smoke
+    agreement pin this), and the explicit casts add (16,128) relayouts.
+    Kept as the measurement's artifact, not used by default."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    xh = x.astype(bf)
+    xl = (x - xh.astype(f32)).astype(bf)
+    yh = y.astype(bf)
+    yl = (y - yh.astype(f32)).astype(bf)
+    return (jnp.dot(xh, yh, preferred_element_type=f32)
+            + jnp.dot(xh, yl, preferred_element_type=f32)
+            + jnp.dot(xl, yh, preferred_element_type=f32))
+
+
+def _tail_prologue(frame_ref, a_ref, pool: int, th: int, wc: int,
+                   mxu: str = "f32"):
     """Shared prologue of both refine-tail kernels: banded row/column
     upsample matrices for this program's output tile, the in-register
     luma guide, and the coefficient-upsample closure. The packed and the
     float-emitting tails MUST agree on these (half-pixel semantics, luma
-    coefficients) — one implementation keeps them from diverging."""
+    coefficients) — one implementation keeps them from diverging.
+
+    mxu: matmul operand mode for the upsample dots —
+      "f32"   f32 operands (Mosaic ~3-pass bf16 lowering, ~2^-19
+              effective precision) — FASTEST measured mode, the default
+      "split" split-float bf16 (3 explicit bf16 dots, ~2^-16 relative)
+      "bf16"  plain bf16 operands (~2^-9 relative error)
+    The non-default modes measured SLOWER on v5e (the explicit casts add
+    tile relayouts; tools/bench_tail_kernels.py, docs/PERFORMANCE.md
+    round 3) and exist as recorded measurement variants."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     _, hl, wl = a_ref.shape
 
     V = _row_upsample_matrix(th, hl, pool, i * th)
     U = _col_upsample_matrix(wl, wc, pool, j * wc)
+    f32 = jnp.float32
 
-    def upsample(c_ref, c):
-        lr = c_ref[c]  # (hl, wl)
-        rows = jnp.dot(V, lr, preferred_element_type=jnp.float32)  # (th, wl)
-        return jnp.dot(rows, U, preferred_element_type=jnp.float32)
+    if mxu == "bf16":
+        bf = jnp.bfloat16
+        Vb, Ub = V.astype(bf), U.astype(bf)
+
+        def upsample(c_ref, c):
+            rows = jnp.dot(Vb, c_ref[c].astype(bf),
+                           preferred_element_type=f32)
+            return jnp.dot(rows.astype(bf), Ub, preferred_element_type=f32)
+    elif mxu == "split":
+        def upsample(c_ref, c):
+            return _split_dot(_split_dot(V, c_ref[c]), U)
+    else:
+        def upsample(c_ref, c):
+            lr = c_ref[c]  # (hl, wl)
+            rows = jnp.dot(V, lr, preferred_element_type=f32)  # (th, wl)
+            return jnp.dot(rows, U, preferred_element_type=f32)
 
     # guide: luma of the u8 frame tile (planar (3, th, W))
     r = frame_ref[0].astype(jnp.int32).astype(jnp.float32)
@@ -94,9 +138,9 @@ def _tail_prologue(frame_ref, a_ref, pool: int, th: int, wc: int):
 
 
 def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
-                   th: int, bg_mode: str = "color"):
+                   th: int, bg_mode: str = "color", mxu: str = "f32"):
     guide, upsample = _tail_prologue(frame_ref, a_ref, pool, th,
-                                     out_ref.shape[1])
+                                     out_ref.shape[1], mxu=mxu)
 
     alpha = jnp.clip(upsample(a_ref, 0) * guide + upsample(b_ref, 0),
                      0.0, 1.0)
@@ -120,7 +164,7 @@ def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
 
 
 def _refine_float_kernel(frame_ref, a_ref, b_ref, alpha_ref, fgr_ref, *,
-                         pool: int, th: int):
+                         pool: int, th: int, mxu: str = "f32"):
     """Float-emitting variant of _refine_kernel: same in-VMEM banded
     coefficient upsample + guided apply, but writes raw float32 alpha and
     foreground planes (no background blend, no quantize, no packing) —
@@ -129,7 +173,7 @@ def _refine_float_kernel(frame_ref, a_ref, b_ref, alpha_ref, fgr_ref, *,
     measured ~38 ms/frame at 1080p (~1% MXU efficiency; docs/
     PERFORMANCE.md round 3)."""
     guide, upsample = _tail_prologue(frame_ref, a_ref, pool, th,
-                                     alpha_ref.shape[1])
+                                     alpha_ref.shape[1], mxu=mxu)
 
     alpha_ref[...] = jnp.clip(upsample(a_ref, 0) * guide
                               + upsample(b_ref, 0), 0.0, 1.0)
@@ -138,21 +182,23 @@ def _refine_float_kernel(frame_ref, a_ref, b_ref, alpha_ref, fgr_ref, *,
                               + upsample(b_ref, c + 1), 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("pool", "interpret"))
+@functools.partial(jax.jit, static_argnames=("pool", "interpret", "mxu"))
 def fused_refine_float(frame_u8: jax.Array, a_lr: jax.Array,
                        b_lr: jax.Array, pool: int = 4,
-                       interpret: bool = False):
+                       interpret: bool = False, mxu: str = "f32"):
     """Fused coefficient-upsample + guided apply emitting float32
     (alpha (N, H, W, 1), fgr (N, H, W, 3)) — no composite/quantize.
 
-    Same coefficient convention as fused_refine_composite."""
+    Same coefficient convention as fused_refine_composite.
+    """
     n, h, w, _ = frame_u8.shape
     _, hl, wl, c4 = a_lr.shape
     if (h // hl != pool) or (w // wl != pool) or c4 != 4:
         raise ValueError("coeff grid must be full_res / pool with 4 channels")
     th, wc = pick_refine_tiles(h, w, hl, wl, px_bytes=48)
 
-    kernel = functools.partial(_refine_float_kernel, pool=pool, th=th)
+    kernel = functools.partial(_refine_float_kernel, pool=pool, th=th,
+                               mxu=mxu)
     frame_p = jnp.transpose(frame_u8, (0, 3, 1, 2))
     a_p = jnp.transpose(a_lr.astype(jnp.float32), (0, 3, 1, 2))
     b_p = jnp.transpose(b_lr.astype(jnp.float32), (0, 3, 1, 2))
@@ -235,16 +281,24 @@ def refine_tiles_fit(h: int, w: int, hl: int, wl: int,
             + th * wc * px_bytes) <= budget
 
 
-@functools.partial(jax.jit, static_argnames=("pool", "interpret"))
+@functools.partial(jax.jit, static_argnames=("pool", "interpret", "mxu"))
 def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
                            b_lr: jax.Array, bg=None, pool: int = 4,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           mxu: str = "f32") -> jax.Array:
     """Fused coefficient-upsample + guided apply + composite + RGBA pack.
 
     frame_u8: (N, H, W, 3) uint8; a_lr/b_lr: (N, H/pool, W/pool, 4) f32
     (channels [alpha, r, g, b]); bg: (3,) color, (H, W, 3) replacement
     image, or None (premultiplied).
     Returns (N, H, W) uint32 packed RGBA (little-endian R|G<<8|B<<16|A<<24).
+
+    mxu: upsample-dot operand mode (see _tail_prologue). "f32" measured
+    FASTEST on TPU v5e (tools/bench_tail_kernels.py: 0.146 ms/frame vs
+    0.31 "bf16" / 0.54 "split" at 1080p) — Mosaic already issues these
+    f32 dots at the truncated single-pass MXU rate, and explicit bf16
+    operand casts only add (16,128)-tile relayouts. The modes are kept
+    as measurement evidence (docs/PERFORMANCE.md round 3).
     """
     n, h, w, _ = frame_u8.shape
     _, hl, wl, c4 = a_lr.shape
@@ -263,7 +317,7 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
                                has_bg_image=(bg_mode == "image"))
 
     kernel = functools.partial(_refine_kernel, pool=pool, th=th,
-                               bg_mode=bg_mode)
+                               bg_mode=bg_mode, mxu=mxu)
     bg_spec = (pl.BlockSpec((3, th, wc), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
                if bg_mode == "image" else
