@@ -270,13 +270,47 @@ def _bench_smoke(jax) -> dict:
         want = np.asarray(planar_conv2(*args, act2="none", interpret=True))
         return max(worst, np.abs(got - want).max()), 1e-4
 
+    def k_planar_conv_gru():
+        # Fused decoder stage (round 3): conv + split + ConvGRU.
+        from vidmat.ops.pallas.planar import (conv3x3_taps,
+                                              conv_tap_weights,
+                                              interior_mask,
+                                              planar_conv_gru, to_planar)
+
+        h, w, ci, feats = 32, 240, 6, 8
+        half = feats // 2
+        xs = [to_planar(jnp.asarray(rng.randn(1, h, w, ci)
+                                    .astype(np.float32)))]
+        k = jnp.asarray(rng.randn(3, 3, ci, feats).astype(np.float32) * 0.2)
+        kg = jnp.asarray(rng.randn(3, 3, feats, feats)
+                         .astype(np.float32) * 0.2)
+        kc = jnp.asarray(rng.randn(3, 3, feats, half)
+                         .astype(np.float32) * 0.2)
+        hp = to_planar(jnp.asarray(rng.randn(1, h, w, half)
+                                   .astype(np.float32) * 0.5))
+        args = (xs, [conv_tap_weights(k)], conv3x3_taps(w),
+                jnp.ones((feats, 1), jnp.float32),
+                jnp.zeros((feats, 1), jnp.float32), hp,
+                conv_tap_weights(kg[:, :, :half]),
+                conv_tap_weights(kg[:, :, half:]),
+                jnp.zeros((feats, 1), jnp.float32),
+                conv_tap_weights(kc[:, :, :half]),
+                conv_tap_weights(kc[:, :, half:]),
+                jnp.zeros((half, 1), jnp.float32),
+                interior_mask(h, w))
+        ga, gh = planar_conv_gru(*args)
+        wa, wh = planar_conv_gru(*args, interpret=True)
+        return max(np.abs(np.asarray(ga) - np.asarray(wa)).max(),
+                   np.abs(np.asarray(gh) - np.asarray(wh)).max()), 1e-4
+
     t0 = time.perf_counter()
     for name, fn in [("ingest", k_ingest), ("gf", k_gf),
                      ("composite", k_composite), ("refine", k_refine),
                      ("refine_float", k_refine_float),
                      ("planar_conv", k_planar_conv),
                      ("planar_gru", k_planar_gru),
-                     ("planar_conv2", k_planar_conv2)]:
+                     ("planar_conv2", k_planar_conv2),
+                     ("planar_conv_gru", k_planar_conv_gru)]:
         check(name, fn)
     n_total = len(report)
     n_ok = n_total - len(failed)

@@ -213,3 +213,42 @@ def test_planar_conv2_stride2_then_conv3():
     got = planar_conv2([xp], ws, tA, s1, b1, w2, tB, s2, b2, mask,
                        act="relu", act2="relu", interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_planar_conv_gru_matches_chain():
+    """Fused decoder stage (planar_conv_gru: conv + split + ConvGRU) must
+    be bit-identical to the planar_conv -> slice -> planar_gru chain."""
+    from vidmat.ops.pallas.planar import conv_gru_fits, planar_conv_gru
+
+    rng = np.random.RandomState(13)
+    h, w = 18, 30
+    c_in, feats = (7, 5), 8
+    half = feats // 2
+    xs = [to_planar(jnp.asarray(rng.randn(1, h, w, c).astype(np.float32)))
+          for c in c_in]
+    k = rng.randn(3, 3, sum(c_in), feats).astype(np.float32) * 0.3
+    sc = jnp.asarray(rng.rand(feats, 1).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.randn(feats, 1).astype(np.float32) * 0.1)
+    kg = jnp.asarray(rng.randn(3, 3, feats, feats).astype(np.float32) * 0.3)
+    kc = jnp.asarray(rng.randn(3, 3, feats, half).astype(np.float32) * 0.3)
+    bg = jnp.asarray(rng.randn(feats, 1).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.randn(half, 1).astype(np.float32) * 0.1)
+    taps = conv3x3_taps(w)
+    assert conv_gru_fits(taps)
+    mask = interior_mask(h, w)
+    ws = [conv_tap_weights(jnp.asarray(k[:, :, :c_in[0]])),
+          conv_tap_weights(jnp.asarray(k[:, :, c_in[0]:]))]
+    gru_w = (conv_tap_weights(kg[:, :, :half]),
+             conv_tap_weights(kg[:, :, half:]), bg,
+             conv_tap_weights(kc[:, :, :half]),
+             conv_tap_weights(kc[:, :, half:]), bc)
+    hp = to_planar(jnp.asarray(rng.randn(1, h, w, half)
+                               .astype(np.float32) * 0.5))
+
+    x = planar_conv(xs, ws, taps, sc, bi, mask, act="relu", interpret=True)
+    want_a, b = x[:half], x[half:]
+    want_h = planar_gru(b, hp, *gru_w, mask, taps, interpret=True)
+    got_a, got_h = planar_conv_gru(xs, ws, taps, sc, bi, hp, *gru_w, mask,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want_h))

@@ -27,6 +27,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="tiny shapes (CPU/debug, interpret off only on TPU)")
+    ap.add_argument("--preset", default="video_1080p",
+                    choices=["video_1080p", "clip_480p"])
     ap.add_argument("--repeats", type=int, default=9)
     ap.add_argument("--short", type=int, default=16)
     ap.add_argument("--long", type=int, default=64)
@@ -43,10 +45,16 @@ def main() -> None:
     from vidmat.models.planar import build_planar_forward, planar_init_state
     from vidmat.models.weights import init_params
 
-    cfg, pcfg = PRESETS["video_1080p"]()
-    # The coarse serving grid of the 1080p preset (1088x1920 @ ds=0.25,
-    # snapped + padded to 16*s2d): what build_serving_body feeds the net.
-    h, w = (96, 128) if args.quick else (288, 480)
+    cfg, pcfg = PRESETS[args.preset]()
+    # The grid build_serving_body feeds the net: the 1080p preset's coarse
+    # grid (1088x1920 @ ds=0.25, snapped + padded to 16*s2d), or the 480p
+    # preset's full-res grid.
+    if args.quick:
+        h, w = 96, 128
+    elif args.preset == "clip_480p":
+        h, w = 480, 864
+    else:
+        h, w = 288, 480
     interp = jax.default_backend() != "tpu"
     variables = init_params(cfg)
     variables = jax.tree_util.tree_map(jnp.asarray, variables)

@@ -34,10 +34,11 @@ import jax.numpy as jnp
 
 from vidmat.config import ModelConfig
 from vidmat.ops.pallas.planar import (BLOCK, conv1x1_taps, conv2_fits,
-                                      conv3x3_taps, conv_tap_weights,
-                                      fold_bn, interior_mask, planar_conv,
-                                      planar_conv2, planar_gru, plane_sizes,
-                                      stride2_taps)
+                                      conv3x3_taps, conv_gru_fits,
+                                      conv_tap_weights, fold_bn,
+                                      interior_mask, planar_conv,
+                                      planar_conv2, planar_conv_gru,
+                                      planar_gru, plane_sizes, stride2_taps)
 
 
 # ---- XLA glue on planar grids ----
@@ -247,9 +248,14 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
     fuse_enc = {lvl: fuse_pairs and conv2_fits(taps2[lvl], taps3[lvl + 1])
                 for lvl in (1, 2, 3)}
     fuse_d0 = fuse_pairs and conv2_fits(taps3[0], taps3[0])
+    # decoder stages run at levels 3/2/1 (d3/d2/d1)
+    fuse_dec = {lvl: (fuse_pairs and cfg.recurrent
+                      and conv_gru_fits(taps3[lvl]))
+                for lvl in (1, 2, 3)}
     eps = cfg.bn_eps
     kconv = functools.partial(planar_conv, interpret=interpret)
     kconv2 = functools.partial(planar_conv2, interpret=interpret)
+    kconvgru = functools.partial(planar_conv_gru, interpret=interpret)
     kgru = functools.partial(planar_gru, interpret=interpret)
 
     def cba_w(p, st):
@@ -338,24 +344,35 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
             k, sc, bi = cba_w(p["conv"], st_["conv"])
             splits = tuple(pl_.shape[0] for pl_ in ups) + (
                 k.shape[2] - sum(pl_.shape[0] for pl_ in ups),)
-            x = conv3(ups + [skip], lvl, k, sc, bi, splits)
             if not cfg.recurrent:
-                return [x], None
+                return [conv3(ups + [skip], lvl, k, sc, bi, splits)], None
             half = feats // 2
-            a, b = x[:half], x[half:]
             gp = p["gru"]
             kg, kc = gp["gates"]["kernel"], gp["cand"]["kernel"]
+            gru_w = (conv_tap_weights(kg[:, :, :half], dtype),
+                     conv_tap_weights(kg[:, :, half:], dtype),
+                     gp["gates"]["bias"].astype(jnp.float32)[:, None],
+                     conv_tap_weights(kc[:, :, :half], dtype),
+                     conv_tap_weights(kc[:, :, half:], dtype),
+                     gp["cand"]["bias"].astype(jnp.float32)[:, None])
             if h_prev is None:
-                h_prev = jnp.zeros_like(b)
-            h_new = kgru(
-                b, h_prev,
-                conv_tap_weights(kg[:, :, :half], dtype),
-                conv_tap_weights(kg[:, :, half:], dtype),
-                gp["gates"]["bias"].astype(jnp.float32)[:, None],
-                conv_tap_weights(kc[:, :, :half], dtype),
-                conv_tap_weights(kc[:, :, half:], dtype),
-                gp["cand"]["bias"].astype(jnp.float32)[:, None],
-                masks[lvl], taps3[lvl])
+                _, _, total_ = plane_sizes(*g[lvl])
+                h_prev = jnp.zeros((half, total_), dtype)
+            if fuse_dec[lvl]:
+                # Fused decoder stage: conv + split + ConvGRU in one
+                # kernel — the GRU's input never visits HBM
+                # (bit-identical to the chain below by construction).
+                ws = []
+                o = 0
+                for csz in splits:
+                    ws.append(conv_tap_weights(k[:, :, o:o + csz], dtype))
+                    o += csz
+                a, h_new = kconvgru(ups + [skip], ws, taps3[lvl], sc, bi,
+                                    h_prev, *gru_w, masks[lvl])
+                return [a, h_new], h_new
+            x = conv3(ups + [skip], lvl, k, sc, bi, splits)
+            a, b = x[:half], x[half:]
+            h_new = kgru(b, h_prev, *gru_w, masks[lvl], taps3[lvl])
             return [a, h_new], h_new
 
         d = cfg.dec_channels

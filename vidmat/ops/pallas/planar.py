@@ -215,13 +215,24 @@ def planar_conv(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
     )(*xs, *ws, scale, bias, mask)
 
 
+# Fusion pays a halo tax: the first stage is evaluated on a chunk
+# extended by the second stage's reach, so the extra compute fraction is
+# ~(extension / BLOCK). Measured (tools/bench_fused_pairs.py): at the
+# 1080p serving geometry (pitches <= 256, extension <= 12.6%) fusion wins
+# 1.03-1.08x; at the full-res 480p geometry (pitches up to 896, extension
+# up to 44%) it LOSES 0.92x. The guards below cap the extension at 1/6 of
+# the chunk — keeping every measured-win site and rejecting every
+# measured-loss one.
+_FUSE_HALO_BUDGET = BLOCK // 6
+
+
 def conv2_fits(taps, taps2) -> bool:
     """True when a fused two-conv chain (planar_conv2) over these tap
-    structures fits the BLOCK lane-chunk: the chunk must cover the
-    combined halo-extended window (both convs' reach, 128-aligned). False
-    at very large pitches (e.g. level-0 of a full-res 1080p net), where
-    the caller must keep the two-call chain."""
-    return BLOCK >= _align128(taps_halo(taps) + taps_halo(taps2))
+    structures fits the BLOCK lane-chunk AND its halo-extension overhead
+    (2 * second-conv reach) stays under the fusion budget — large pitches
+    (e.g. level-0 of a full-res net) keep the two-call chain."""
+    return (BLOCK >= _align128(taps_halo(taps) + taps_halo(taps2))
+            and 2 * taps_halo(taps2) <= _FUSE_HALO_BUDGET)
 
 
 def _conv2_kernel(*refs, taps, taps2, n_in, act, act2, block, halo, align):
@@ -329,6 +340,135 @@ def planar_conv2(xs: Sequence[jax.Array], ws: Sequence[jax.Array], taps,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*xs, *ws, scale, bias, w2, scale2, bias2, mask8, mask)
+
+
+def conv_gru_fits(taps) -> bool:
+    """True when the fused decoder-stage conv+GRU (planar_conv_gru) fits
+    the BLOCK lane chunk (the 3x3 conv must be evaluated out to the GRU's
+    gate halo plus the candidate conv's tap reach — 3 halos total) AND
+    the conv's 4-halo extension stays under the fusion budget (see
+    _FUSE_HALO_BUDGET)."""
+    return (BLOCK >= _align128(3 * taps_halo(taps))
+            and 4 * taps_halo(taps) <= _FUSE_HALO_BUDGET)
+
+
+def _conv_gru_kernel(*refs, taps, n_in, feats, block, halo, align):
+    """Fused decoder stage: 3x3 ConvBNAct over a multi-plane concat,
+    split into [a | b], then the ConvGRU step h' = GRU(b, h) — one grid
+    pass; the conv output (the GRU's input) never visits HBM.
+
+    The conv is evaluated on a 2-halo-extended chunk (ext2) so the gate
+    conv (needs b at +-halo around gate positions, themselves computed on
+    a 1-halo extension for the candidate's r*h taps) reads in-register
+    values — the same halo-chaining as planar_conv2 + _gru_kernel. The
+    mid value is interior-masked and cast to the plane dtype before the
+    GRU taps, so the fusion is bit-identical to the planar_conv ->
+    slice -> planar_gru chain.
+    """
+    # refs: x_0..x_{n-1}, w_0..w_{n-1} (T, feats, C_i), scale (feats, 1),
+    #       bias (feats, 1), h (half, TOTAL), wgx, wgh (T, 2*half, half),
+    #       bg (2*half, 1), wcx, wch (T, half, half), bc (half, 1),
+    #       mask8 (8, TOTAL), mask (1, BLOCK) chunk,
+    #       outs: a (half, BLOCK), h' (half, BLOCK)
+    xs = refs[:n_in]
+    ws = refs[n_in:2 * n_in]
+    (s_ref, b_ref, h_ref, wgx_ref, wgh_ref, bg_ref, wcx_ref, wch_ref,
+     bc_ref, maskf_ref, mask_ref, a_ref, out_ref) = refs[2 * n_in:]
+    half = feats // 2
+    i = pl.program_id(0)
+    margin = jnp.logical_or(i == 0, i == pl.num_programs(0) - 1)
+
+    @pl.when(margin)
+    def _():
+        a_ref[...] = jnp.zeros_like(a_ref)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(margin))
+    def _():
+        base = i * block
+        ext = block + 2 * halo      # gate positions
+        ext2 = block + 4 * halo     # conv (b) positions
+        acc = None
+        for x_ref, w_ref in zip(xs, ws):
+            win = _load_window(x_ref, base, align, block)
+            part = _tap_accum(win, w_ref[...], taps, align, block,
+                              start=-2 * halo, size=ext2)
+            acc = part if acc is None else acc + part
+        mid = jnp.maximum(acc * s_ref[...] + b_ref[...], 0.0)
+        # Interior mask + plane-dtype cast: exactly what planar_conv
+        # writes out, so the GRU sees bit-identical inputs.
+        mwin8 = _load_window(maskf_ref, base, align, block)
+        mext8 = jax.lax.slice(mwin8, (0, align - 2 * halo),
+                              (8, align - 2 * halo + ext2))
+        reps = -(-feats // 8)
+        mext = jnp.concatenate([mext8] * reps, axis=0)[:feats]
+        mid = (mid * mext).astype(xs[0].dtype)
+
+        a_ref[...] = (mid[:half, 2 * halo:2 * halo + block]
+                      .astype(a_ref.dtype))
+
+        bpl = mid[half:]                       # (half, ext2), plane dtype
+        hw = _load_window(h_ref, base, align, block)
+        rz = (_tap_accum(bpl, wgx_ref[...], taps, 2 * halo, block,
+                         start=-halo, size=ext)
+              + _tap_accum(hw, wgh_ref[...], taps, align, block,
+                           start=-halo, size=ext) + bg_ref[...])
+        rz = jax.nn.sigmoid(rz)
+        r = rz[:half, :]                       # (half, ext) f32
+        z = rz[half:, halo:halo + block]
+        h_ext = jax.lax.slice(hw, (0, align - halo),
+                              (half, align - halo + ext))
+        rh = (r * h_ext.astype(jnp.float32)).astype(hw.dtype)
+
+        c = jnp.tanh(_tap_accum(bpl, wcx_ref[...], taps, 2 * halo, block)
+                     + _tap_accum(rh, wch_ref[...], taps, halo, block)
+                     + bc_ref[...])
+        h_c = jax.lax.slice(hw, (0, align),
+                            (half, align + block)).astype(jnp.float32)
+        out = (1.0 - z) * h_c + z * c
+        out_ref[...] = (out * mask_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "interpret"))
+def planar_conv_gru(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
+                    taps, scale: jax.Array, bias: jax.Array, h: jax.Array,
+                    wgx: jax.Array, wgh: jax.Array, bg: jax.Array,
+                    wcx: jax.Array, wch: jax.Array, bc: jax.Array,
+                    mask: jax.Array,
+                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Fused decoder stage (models/planar.py dec_stage): ConvBNAct(relu)
+    over the plane list, split [a | b], h' = ConvGRU(b, h). Returns
+    (a (half, TOTAL), h' (half, TOTAL)); bit-identical to the
+    planar_conv -> slice -> planar_gru chain."""
+    xs = tuple(xs)
+    ws = tuple(ws)
+    feats = ws[0].shape[1]
+    half = feats // 2
+    total = xs[0].shape[1]
+    assert total % BLOCK == 0 and h.shape == (half, total)
+    n_in = len(xs)
+    halo = taps_halo(taps)
+    align = _align128(3 * halo)
+    assert BLOCK >= align, (BLOCK, align)
+    kernel = functools.partial(_conv_gru_kernel, taps=taps, n_in=n_in,
+                               feats=feats, block=BLOCK, halo=halo,
+                               align=align)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    chunk = pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((half, BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    mask8 = jnp.broadcast_to(mask.astype(xs[0].dtype), (8, total))
+    a, h_new = pl.pallas_call(
+        kernel,
+        grid=(total // BLOCK,),
+        out_shape=(jax.ShapeDtypeStruct((half, total), xs[0].dtype),
+                   jax.ShapeDtypeStruct((half, total), h.dtype)),
+        in_specs=[full] * (2 * n_in + 10) + [chunk],
+        out_specs=(out_spec, out_spec),
+        interpret=interpret,
+    )(*xs, *ws, scale, bias, h, wgx, wgh, bg, wcx, wch, bc, mask8, mask)
+    return a, h_new
 
 
 def _gru_kernel(x_ref, h_ref, wgx_ref, wgh_ref, bg_ref, wcx_ref, wch_ref,
