@@ -62,26 +62,31 @@ def main() -> None:
     frames = jnp.asarray(
         np.random.RandomState(0).rand(8, 1, h, w, 3).astype(np.float32))
 
-    results = {}
+    st0 = planar_init_state(cfg, h, w, jnp.bfloat16)
+    built = {}
     for name, fuse in (("fused", True), ("two-call", False)):
         fwd = build_planar_forward(cfg, h, w, dtype=jnp.bfloat16,
                                    interpret=interp, fuse_pairs=fuse)
 
-        def chain(variables, frames, st, n):
+        def chain(variables, frames, st, n, fwd=fwd):
             def sbody(s, i):
                 _, _, ns = fwd(variables, frames[i % 8], s)
                 return ns, ()
             ns, _ = jax.lax.scan(sbody, st, jnp.arange(n))
             return ns
 
-        jits = {n: jax.jit(lambda v, f, s, n=n: chain(v, f, s, n))
+        jits = {n: jax.jit(lambda v, f, s, n=n, ch=chain: ch(v, f, s, n))
                 for n in (args.short, args.long)}
-        st0 = planar_init_state(cfg, h, w, jnp.bfloat16)
         for n, fn in jits.items():
             jax.block_until_ready(fn(variables, frames, st0))  # compile
+        built[name] = jits
 
-        samples = []
-        for _ in range(args.repeats):
+    # Interleave variants round-robin per repeat: the tunnel drifts on a
+    # minutes scale, and block-sequential variant timing can fabricate
+    # ratios (docs/PERFORMANCE.md measurement notes).
+    samples = {name: [] for name in built}
+    for _ in range(args.repeats):
+        for name, jits in built.items():
             ts = {}
             for n, fn in jits.items():
                 t0 = time.perf_counter()
@@ -89,12 +94,13 @@ def main() -> None:
                 ts[n] = time.perf_counter() - t0
             d = (ts[args.long] - ts[args.short]) / (args.long - args.short)
             if d > 0:
-                samples.append(d * 1e3)
-        med = statistics.median(samples)
+                samples[name].append(d * 1e3)
+    results = {}
+    for name, s in samples.items():
+        med = statistics.median(s)
         results[name] = med
         print(f"{name:9s} net-forward: {med:.4f} ms/frame "
-              f"(n={len(samples)}, spread {min(samples):.4f}-"
-              f"{max(samples):.4f})")
+              f"(n={len(s)}, spread {min(s):.4f}-{max(s):.4f})")
 
     speedup = results["two-call"] / results["fused"]
     print(f"pair-fusion speedup: {speedup:.3f}x")

@@ -110,21 +110,30 @@ def main() -> None:
                         jnp.clip(jnp.round(jnp.asarray(x0) * 64), -127, 127
                                  ).astype(jnp.int8)),
     }
+    # Interleave the variants' samples round-robin: the tunnel's timing
+    # drifts on a minutes scale, so block-sequential variant timing can
+    # fabricate large ratios (docs/PERFORMANCE.md measurement notes).
+    built = {}
     for name, (step, x) in variants.items():
         fs = chain(step, args.short, x)
         fl = chain(step, args.long, x)
-        np.asarray(fs(x)); np.asarray(fl(x))  # compile
-        samples = []
-        for _ in range(args.repeats):
-            t0 = time.perf_counter(); np.asarray(fs(x))
+        import jax as _jax
+        _jax.block_until_ready(fs(x)); _jax.block_until_ready(fl(x))
+        built[name] = (fs, fl, x)
+    samples = {name: [] for name in variants}
+    for _ in range(args.repeats):
+        for name, (fs, fl, x) in built.items():
+            import jax as _jax
+            t0 = time.perf_counter(); _jax.block_until_ready(fs(x))
             ts = time.perf_counter() - t0
-            t0 = time.perf_counter(); np.asarray(fl(x))
+            t0 = time.perf_counter(); _jax.block_until_ready(fl(x))
             tl = time.perf_counter() - t0
             d = (tl - ts) / (args.long - args.short)
             if d > 0:
-                samples.append(d * 1e3)
-        print(f"{name}: {statistics.median(samples):.4f} ms/layer-batch "
-              f"(n={len(samples)}, {min(samples):.4f}-{max(samples):.4f})")
+                samples[name].append(d * 1e3)
+    for name, s in samples.items():
+        print(f"{name}: {statistics.median(s):.4f} ms/layer-batch "
+              f"(n={len(s)}, {min(s):.4f}-{max(s):.4f})")
 
 
 if __name__ == "__main__":

@@ -61,8 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 # enough for MXU-efficient matmul N dims and to amortize slice relayouts,
 # small enough that per-chunk temporaries stay well under VMEM limits.
 # Also the zero-margin size on each plane end (must be >= the aligned tap
-# window reach, pitch + 128).
-BLOCK = 4096
+# window reach, pitch + 128). Env-tunable for the block-size sweep
+# (tools/bench_block_size.py) — the serving grids are overhead-bound
+# (a 16ch layer measures ~3x its byte roofline at batch 8), so the chunk
+# size trades per-program overhead against margin waste and VMEM.
+import os as _os
+
+BLOCK = int(_os.environ.get("VIDMAT_PLANAR_BLOCK", "4096"))
+assert BLOCK % 128 == 0
 
 
 def _align128(n: int) -> int:
