@@ -104,3 +104,39 @@ def test_planar_bf16_serving_quality_neutral():
     # (folded BN, tap-sum order, matmul upsample), so agreement is to
     # rounding, not bit-exact.
     assert worst <= 2e-2, worst
+
+
+def test_planar_fused_matches_unfused_across_pitch_regimes():
+    """The fused-pair/fused-GRU forward must match the fully unfused
+    chain to f32-ulp level in BOTH fit-guard regimes: small pitches
+    (every site fused) and a wide frame whose level-0 pitch exceeds the
+    fusion halo budget (d0+head and the wide GRU stages fall back to the
+    two-call chain — the 480p-geometry loss, docs/PERFORMANCE.md).
+
+    Tolerance note: the fused kernels compute the same values from the
+    same operands, but the first conv's matmuls run at a halo-extended N
+    dimension, and XLA's CPU dot (interpret mode) reassociates the K
+    accumulation differently per shape — measured <=2 f32 ulps
+    (~1.2e-7) across a recurrent rollout. The kernel-level unit tests
+    pin bit-equality at matched shapes."""
+    from vidmat.ops.pallas.planar import conv2_fits, conv3x3_taps
+
+    for h, w in ((48, 64), (32, 1008)):
+        cfg = ModelConfig()
+        variables = randomize_bn_stats(init_params(cfg, seed=5), seed=6)
+        fwd_f = build_planar_forward(cfg, h, w, dtype=jnp.float32,
+                                     interpret=True, fuse_pairs=True)
+        fwd_u = build_planar_forward(cfg, h, w, dtype=jnp.float32,
+                                     interpret=True, fuse_pairs=False)
+        st_f = planar_init_state(cfg, h, w, jnp.float32)
+        st_u = planar_init_state(cfg, h, w, jnp.float32)
+        for f, _ in synthetic_clip(h, w, 2, seed=9):
+            x = jnp.asarray(f.astype(np.float32) / 255.0)[None]
+            a_f, f_f, st_f = fwd_f(variables, x, st_f)
+            a_u, f_u, st_u = fwd_u(variables, x, st_u)
+            np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_u),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_u),
+                                       atol=1e-6)
+    # the wide geometry must actually exercise the fallback regime
+    assert not conv2_fits(conv3x3_taps(1008), conv3x3_taps(1008))

@@ -232,8 +232,10 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
     fuse_pairs: run adjacent conv pairs (encoder s2a+s2b / s3a+s3b /
     s4a+s4b, and d0+head) as single planar_conv2 kernels — the stride-2
     conv is already a stride-1 4-tap conv on the packed plane, so both
-    convs of each pair share a grid. Bit-identical to the two-call chain
-    (the mid plane simply stays in VMEM); per-site it applies only where
+    convs of each pair share a grid. Same math on the same operands as
+    the two-call chain (the mid plane simply stays in VMEM; equal to
+    <=2 f32 ulps — the halo-extended matmul N dim lets the dot
+    reassociate); per-site it applies only where
     the combined halo fits the lane chunk (conv2_fits — at full-res-1080p
     level-0 pitches the pair falls back to two calls).
     """
@@ -298,7 +300,8 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
             """Encoder stage: stride-2 ConvBNAct (level -> level+1) + 3x3
             ConvBNAct at level+1 — one fused planar_conv2 kernel when the
             combined halo fits (the mid feature plane stays in VMEM),
-            else the two-call chain (bit-identical either way)."""
+            else the two-call chain (same math either way; ulp-level
+            equality pinned in tests/parity)."""
             ka, sa, ba = cba_w(enc_p[name_a], enc_s[name_a])
             kb, sb, bb = cba_w(enc_p[name_b], enc_s[name_b])
             if fuse_enc[level]:
@@ -360,8 +363,9 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
                 h_prev = jnp.zeros((half, total_), dtype)
             if fuse_dec[lvl]:
                 # Fused decoder stage: conv + split + ConvGRU in one
-                # kernel — the GRU's input never visits HBM
-                # (bit-identical to the chain below by construction).
+                # kernel — the GRU's input never visits HBM (same math
+                # as the chain below; ulp-level equality pinned in
+                # tests/parity).
                 ws = []
                 o = 0
                 for csz in splits:

@@ -368,8 +368,11 @@ def _conv_gru_kernel(*refs, taps, n_in, feats, block, halo, align):
     a 1-halo extension for the candidate's r*h taps) reads in-register
     values — the same halo-chaining as planar_conv2 + _gru_kernel. The
     mid value is interior-masked and cast to the plane dtype before the
-    GRU taps, so the fusion is bit-identical to the planar_conv ->
-    slice -> planar_gru chain.
+    GRU taps, so the fusion computes the same math on the same operands
+    as the planar_conv -> slice -> planar_gru chain (equal to <=2 f32
+    ulps: the halo-extended matmul N dim lets the dot reassociate —
+    tests/parity pins the tolerance, the unit test pins bit-equality at
+    matched shapes).
     """
     # refs: x_0..x_{n-1}, w_0..w_{n-1} (T, feats, C_i), scale (feats, 1),
     #       bias (feats, 1), h (half, TOTAL), wgx, wgh (T, 2*half, half),
@@ -444,8 +447,9 @@ def planar_conv_gru(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
                     interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Fused decoder stage (models/planar.py dec_stage): ConvBNAct(relu)
     over the plane list, split [a | b], h' = ConvGRU(b, h). Returns
-    (a (half, TOTAL), h' (half, TOTAL)); bit-identical to the
-    planar_conv -> slice -> planar_gru chain."""
+    (a (half, TOTAL), h' (half, TOTAL)); same math as the
+    planar_conv -> slice -> planar_gru chain (ulp-level, see kernel
+    docstring)."""
     xs = tuple(xs)
     ws = tuple(ws)
     feats = ws[0].shape[1]

@@ -197,7 +197,7 @@ class VideoPipeline:
                 patch_size=self.pipe_cfg.refine.errormap_patch_size)
 
     def _build_step(self, h: int, w: int, ratio: float,
-                    need_fgr: bool = False):
+                    need_fgr: bool = False, alpha_only: bool = False):
         """One jitted device step for a (h, w) stream at a coarse ratio.
 
         The body comes from the shared serving-step factory
@@ -209,10 +209,10 @@ class VideoPipeline:
         dispatch measured faster; see docs/PERFORMANCE.md).
 
         Compiled steps are cached on the pipeline instance keyed by
-        (h, w, ratio, need_fgr), so repeated run() calls on the same shape
-        bucket pay zero retraces (VERDICT round 1, item 8).
+        (h, w, ratio, need_fgr, alpha_only), so repeated run() calls on the
+        same shape bucket pay zero retraces (VERDICT round 1, item 8).
         """
-        key = (h, w, ratio, need_fgr)
+        key = (h, w, ratio, need_fgr, alpha_only)
         cached = self._step_cache.get(key)
         if cached is not None:
             return cached
@@ -248,7 +248,7 @@ class VideoPipeline:
             cdtype=cdtype, bg=bg, use_pallas=cfg.use_pallas,
             need_fgr=need_fgr, tile_size=cfg.tile_size,
             tile_overlap=cfg.tile_overlap, refiner=refiner,
-            bg_dynamic=bg_dynamic)
+            bg_dynamic=bg_dynamic, alpha_only=alpha_only)
 
         step = jax.jit(body)
         chunk_step = None
@@ -300,6 +300,11 @@ class VideoPipeline:
                 if "comp" in writers:
                     writers["comp"].write(np.asarray(rgba)[0, :fh, :fw])
                 return
+            if plan.alpha_only:
+                # uint8 alpha plane (the packed word's high byte) — the
+                # only output the caller asked for; 4x smaller D2H.
+                writers["alpha"].write(np.asarray(outs)[0, :fh, :fw])
+                return
             # Pallas path: one packed-RGBA D2H, host-side zero-copy split.
             from vidmat.ops.pallas.composite_kernel import unpack_rgba_host
 
@@ -326,8 +331,13 @@ class VideoPipeline:
                 if ratio is None:
                     ratio = auto_downsample_ratio(fh, fw)
                 ph, pw = fh + ((-fh) % 16), fw + ((-fw) % 16)
+                # Alpha-only conversions take the 4x-smaller uint8 D2H
+                # (stepfactory alpha_only — the packed word's high byte,
+                # extracted on device).
                 step, chunk_step, plan = self._build_step(
-                    ph, pw, ratio, need_fgr=bool(output_foreground))
+                    ph, pw, ratio, need_fgr=bool(output_foreground),
+                    alpha_only=bool(output_alpha)
+                    and not output_foreground and not output_composition)
                 state = plan.make_state(1)
                 bg_src = (_BgFrameSource(self.bg_video, ph, pw)
                           if self.bg_video is not None else None)
