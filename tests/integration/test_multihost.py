@@ -56,3 +56,38 @@ def test_two_process_distributed_train_step():
     assert all(o["devices"] == 4 for o in outs)
     # psum-reduced loss is replicated: both hosts see the identical value
     assert outs[0]["loss"] == outs[1]["loss"], outs
+
+
+SERVE_WORKER = os.path.join(os.path.dirname(__file__),
+                            "multihost_serve_worker.py")
+
+
+def test_two_process_distributed_serving():
+    """Multi-host SERVING: 4 streams shard_map'd over a 4-device mesh
+    spanning 2 OS processes, real Pallas serving body per device
+    (interpret kernels). Each process asserts in-worker that its streams'
+    meshed outputs are bit-identical to an unmeshed local reference —
+    steady-state multi-stream serving is communication-free, so crossing
+    the process boundary must not change a byte."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SERVE_WORKER, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host serve worker timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert {o["pid"] for o in outs} == {0, 1}
+    assert all(o["ok"] for o in outs)
