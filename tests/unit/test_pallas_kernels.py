@@ -141,3 +141,23 @@ def test_refine_tile_sizing():
     # must be rejected, not compiled into a scoped-VMEM failure.
     assert not refine_tiles_fit(2176, 3840, 1088, 1920)  # pool=2 at 4K
     assert not refine_tiles_fit(960, 1728, 480, 864)     # pool=2, huge wl
+
+
+def test_ingest_kernel_vmem_fallback(monkeypatch):
+    """When no legal Mosaic tiling fits scoped VMEM (e.g. 2160p pool=4:
+    oh=540 has no %8 divisor; 4K pool=2: the column pooling matrix alone
+    is ~29 MB), ingest_pool_normalize must fall back to the exact XLA
+    reshape-mean pool instead of a Mosaic compile failure."""
+    import vidmat.ops.pallas.ingest_kernel as ik
+
+    assert ik._pick_tile_oh(540, 4, 3840) is None
+    assert ik._pick_tile_oh(1088, 2, 3840) is None
+
+    monkeypatch.setattr(ik, "_pick_tile_oh", lambda *a, **k: None)
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 255, (1, 32, 128, 3), np.uint8)
+    out = np.asarray(ik.ingest_pool_normalize(
+        jnp.asarray(img), pool=4, out_dtype=jnp.float32, interpret=True))
+    ref = img.astype(np.float32).reshape(
+        1, 8, 4, 32, 4, 3).mean((2, 4)) / 255.0
+    assert np.abs(out - ref).max() < 1e-5

@@ -278,23 +278,33 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         x_in = grid_to_plane(xg)                          # level-0 plane
         c_in0 = xg.shape[0]
 
-        def stride2_conv(plane, level, kernel, scale, bias):
-            """ConvBNAct stride 2: level grid -> level+1 grid."""
-            h, w = g[level]
-            packed = grid_to_plane(s2d_grid(plane_to_grid(plane, h, w), 2))
-            wst = stride2_tap_weights_jnp(kernel, kernel.shape[2], dtype)
-            return kconv([packed], [wst], taps2[level], scale, bias,
-                         masks[level + 1])
-
-        def conv3(planes, level, kernel, scale, bias, splits, act="relu"):
-            """3x3 stride-1 ConvBNAct over a multi-plane concat."""
+        def split_tap_weights(kernel, splits):
+            """Per-plane tap stacks for a conv over a multi-plane concat
+            (one implementation for the plain, fused-pair, and fused-GRU
+            call sites)."""
             ws = []
             o = 0
             for csz in splits:
                 ws.append(conv_tap_weights(kernel[:, :, o:o + csz], dtype))
                 o += csz
-            return kconv(planes, ws, taps3[level], scale, bias,
-                         masks[level], act=act)
+            return ws
+
+        def pack_stride2(plane, level):
+            """s2d(2)-packed plane at level+1 geometry + stride-2 tap
+            weights factory — the shared input form of a stride-2 conv."""
+            h, w = g[level]
+            return grid_to_plane(s2d_grid(plane_to_grid(plane, h, w), 2))
+
+        def stride2_conv(plane, level, kernel, scale, bias):
+            """ConvBNAct stride 2: level grid -> level+1 grid."""
+            wst = stride2_tap_weights_jnp(kernel, kernel.shape[2], dtype)
+            return kconv([pack_stride2(plane, level)], [wst], taps2[level],
+                         scale, bias, masks[level + 1])
+
+        def conv3(planes, level, kernel, scale, bias, splits, act="relu"):
+            """3x3 stride-1 ConvBNAct over a multi-plane concat."""
+            return kconv(planes, split_tap_weights(kernel, splits),
+                         taps3[level], scale, bias, masks[level], act=act)
 
         def enc_stage(plane, level, name_a, name_b):
             """Encoder stage: stride-2 ConvBNAct (level -> level+1) + 3x3
@@ -305,11 +315,9 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
             ka, sa, ba = cba_w(enc_p[name_a], enc_s[name_a])
             kb, sb, bb = cba_w(enc_p[name_b], enc_s[name_b])
             if fuse_enc[level]:
-                h_, w_ = g[level]
-                packed = grid_to_plane(
-                    s2d_grid(plane_to_grid(plane, h_, w_), 2))
                 wst = stride2_tap_weights_jnp(ka, ka.shape[2], dtype)
-                return kconv2([packed], [wst], taps2[level], sa, ba,
+                return kconv2([pack_stride2(plane, level)], [wst],
+                              taps2[level], sa, ba,
                               conv_tap_weights(kb, dtype), taps3[level + 1],
                               sb, bb, masks[level + 1], act="relu",
                               act2="relu")
@@ -366,13 +374,10 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
                 # kernel — the GRU's input never visits HBM (same math
                 # as the chain below; ulp-level equality pinned in
                 # tests/parity).
-                ws = []
-                o = 0
-                for csz in splits:
-                    ws.append(conv_tap_weights(k[:, :, o:o + csz], dtype))
-                    o += csz
-                a, h_new = kconvgru(ups + [skip], ws, taps3[lvl], sc, bi,
-                                    h_prev, *gru_w, masks[lvl])
+                a, h_new = kconvgru(ups + [skip],
+                                    split_tap_weights(k, splits),
+                                    taps3[lvl], sc, bi, h_prev, *gru_w,
+                                    masks[lvl])
                 return [a, h_new], h_new
             x = conv3(ups + [skip], lvl, k, sc, bi, splits)
             a, b = x[:half], x[half:]
@@ -405,12 +410,8 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
             # dtype the byte balance turns positive, and the saved kernel
             # launch is wall-clock the pair-fusion benchmark measures
             # (docs/PERFORMANCE.md round 3).
-            ws0 = []
-            o = 0
-            for csz in splits:
-                ws0.append(conv_tap_weights(k[:, :, o:o + csz], dtype))
-                o += csz
-            out = kconv2(ups + [cond], ws0, taps3[0], sc, bi,
+            out = kconv2(ups + [cond], split_tap_weights(k, splits),
+                         taps3[0], sc, bi,
                          conv_tap_weights(hk, dtype), taps3[0], ones, hb,
                          masks[0], act="relu", act2="none")
         else:

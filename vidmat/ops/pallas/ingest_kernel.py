@@ -66,25 +66,28 @@ def _ingest_kernel(img_ref, a_ref, b_ref, params_ref, out_ref, *,
 
 
 def _pick_tile_oh(oh: int, pool: int, w: int,
-                  budget: int = 12 * 2**20) -> int:
+                  budget: int = 12 * 2**20):
     """Largest row tile that keeps one program's resident set under the
     scoped-VMEM budget: double-buffered u8 input block, the f32 widened
-    block + row-pooled temp, the constant (w, ow) pooling matrix, and the
-    double-buffered output block. Tiles must divide oh AND satisfy
-    Mosaic's block rule (second-to-last block dim % 8 == 0, or the full
-    dim)."""
+    block + row-pooled temp, the constant A (th, th*pool) and B (w, ow)
+    pooling matrices, and the double-buffered output block (counted f32 —
+    out_dtype may be). Tiles must divide oh AND satisfy Mosaic's block
+    rule (second-to-last block dim % 8 == 0, or the full dim). Returns
+    None when NO legal tile fits (e.g. oh with no %8 divisor at a large
+    resolution, or B alone over budget) — the caller falls back to the
+    XLA pooling path instead of a Mosaic scoped-VMEM compile failure."""
     ow = w // pool
 
     def est(th):
         return (2 * th * pool * w              # u8 input, double-buffered
                 + th * pool * w * 4            # f32 widen
                 + th * w * 4                   # A @ x temp
-                + (th * pool * 4 + w * ow * 4 if pool > 1 else 0)  # A, B
-                + 2 * 2 * th * ow)             # out block (<=f32), dbuf
+                + (th * th * pool * 4 + w * ow * 4 if pool > 1 else 0)
+                + 2 * th * ow * 4)             # out block (f32 worst), dbuf
     cands = sorted((d for d in range(1, oh + 1)
                     if oh % d == 0 and (d % 8 == 0 or d == oh)),
                    reverse=True)
-    return next((d for d in cands if est(d) <= budget), min(cands))
+    return next((d for d in cands if est(d) <= budget), None)
 
 
 def _pool_matrices(th_s: int, w: int, pool: int):
@@ -109,6 +112,7 @@ def _ingest_call(img_chw: jax.Array, params: jax.Array, pool: int,
     c, h, w = img_chw.shape
     oh, ow = h // pool, w // pool
     tile_oh = _pick_tile_oh(oh, pool, w)
+    assert tile_oh is not None  # caller (ingest_pool_normalize) checked
     grid = (c, oh // tile_oh)
     A, B = (_pool_matrices(tile_oh * pool, w, pool) if pool > 1
             else (jnp.zeros((8, 128), jnp.float32),) * 2)
@@ -149,6 +153,17 @@ def ingest_pool_normalize(frames_u8: jax.Array, pool: int = 1,
         scale = jnp.full((c,), 1.0 / 255.0, jnp.float32)
     if offset is None:
         offset = jnp.zeros((c,), jnp.float32)
+    if pool > 1 and _pick_tile_oh(h // pool, pool, w) is None:
+        # No legal Mosaic tiling fits scoped VMEM at this geometry (rare:
+        # an oh with no %8 divisor at a large resolution, or the column
+        # pooling matrix alone over budget). XLA's reshape-mean area pool
+        # is exact and fuses with the normalize — correct, just not the
+        # kernel path.
+        x = frames_u8.astype(jnp.float32).reshape(
+            n, h // pool, pool, w // pool, pool, c).mean((2, 4))
+        sc = jnp.asarray(scale, jnp.float32)
+        off = jnp.asarray(offset, jnp.float32)
+        return (x * sc + off).astype(out_dtype)
     params = jnp.stack([jnp.asarray(scale, jnp.float32),
                         jnp.asarray(offset, jnp.float32)])
     planar = jnp.transpose(frames_u8, (0, 3, 1, 2))

@@ -68,7 +68,13 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 BLOCK = int(_os.environ.get("VIDMAT_PLANAR_BLOCK", "4096"))
-assert BLOCK % 128 == 0
+if BLOCK < 512 or BLOCK % 128:
+    # Explicit raise (not assert — python -O strips asserts): the margin
+    # invariant needs BLOCK >= the aligned tap reach of every grid served
+    # (pitch + 128); 512 admits only tiny toy widths, anything lower is
+    # never valid.
+    raise ValueError(f"VIDMAT_PLANAR_BLOCK={BLOCK}: must be a positive "
+                     "multiple of 128, >= 512")
 
 
 def _align128(n: int) -> int:
@@ -204,7 +210,10 @@ def planar_conv(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
     out_dtype = out_dtype or xs[0].dtype
     n_in = len(xs)
     align = taps_align(taps)
-    assert BLOCK >= align, (BLOCK, align)
+    if BLOCK < align:
+        raise ValueError(
+            f"lane chunk BLOCK={BLOCK} < aligned tap reach {align} — grid "
+            "too wide for this chunk size (raise VIDMAT_PLANAR_BLOCK)")
     kernel = functools.partial(_conv_kernel, taps=taps, n_in=n_in,
                                act=act, block=BLOCK, align=align)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -325,7 +334,10 @@ def planar_conv2(xs: Sequence[jax.Array], ws: Sequence[jax.Array], taps,
     n_in = len(xs)
     halo = taps_halo(taps2)
     align = _align128(taps_halo(taps) + halo)
-    assert BLOCK >= align, (BLOCK, align)
+    if BLOCK < align:
+        raise ValueError(
+            f"lane chunk BLOCK={BLOCK} < aligned tap reach {align} — grid "
+            "too wide for this chunk size (raise VIDMAT_PLANAR_BLOCK)")
     kernel = functools.partial(_conv2_kernel, taps=taps, taps2=taps2,
                                n_in=n_in, act=act, act2=act2, block=BLOCK,
                                halo=halo, align=align)
@@ -459,7 +471,10 @@ def planar_conv_gru(xs: Sequence[jax.Array], ws: Sequence[jax.Array],
     n_in = len(xs)
     halo = taps_halo(taps)
     align = _align128(3 * halo)
-    assert BLOCK >= align, (BLOCK, align)
+    if BLOCK < align:
+        raise ValueError(
+            f"lane chunk BLOCK={BLOCK} < aligned tap reach {align} — grid "
+            "too wide for this chunk size (raise VIDMAT_PLANAR_BLOCK)")
     kernel = functools.partial(_conv_gru_kernel, taps=taps, n_in=n_in,
                                feats=feats, block=BLOCK, halo=halo,
                                align=align)
@@ -540,7 +555,10 @@ def planar_gru(x: jax.Array, h: jax.Array, wgx: jax.Array, wgh: jax.Array,
     c, total = h.shape
     halo = taps_halo(taps)
     align = _align128(2 * halo)
-    assert BLOCK >= align, "chunk must cover gates halo + tap offsets"
+    if BLOCK < align:
+        raise ValueError(
+            f"lane chunk BLOCK={BLOCK} < gates halo + tap reach {align} — "
+            "grid too wide for this chunk size (raise VIDMAT_PLANAR_BLOCK)")
     kernel = functools.partial(_gru_kernel, taps=taps, features=c,
                                block=BLOCK, halo=halo, align=align)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)

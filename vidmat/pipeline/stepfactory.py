@@ -51,7 +51,8 @@ class ServingPlan:
     make_state: object = None
     # Pipeline-parallel stage split of the fused path (set only when the
     # body takes the fully fused tail). The one-shot body composes these
-    # two, so a 2-device pipeline built from them is bit-identical to
+    # two (plus the on-device alpha-byte extract when plan.alpha_only),
+    # so a 2-device pipeline built from them is bit-identical to
     # single-device serving by construction (parallel/pp.py):
     #   fused_stage0(variables, frame_u8, state) -> (ma, mb), new_state
     #   fused_stage1(frame_u8, ma, mb, bgv) -> (N, H, W) uint32 packed
@@ -120,7 +121,8 @@ def build_serving_body(
     Returns (body, plan) where
       body(variables, frame_u8 (N,h,w,3) uint8, state[, bg_frame])
         -> (outs, new_state)
-      outs = (N,h,w) uint32 packed RGBA   if plan.packed
+      outs = (N,h,w) uint8 alpha          if plan.alpha_only
+           | (N,h,w) uint32 packed RGBA   if plan.packed
            | (alpha_u8 (N,h,w,1), fgr_u8 (N,h,w,3), rgba (N,h,w,4))
     """
     if bg_dynamic and bg is not None:
