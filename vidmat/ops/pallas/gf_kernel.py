@@ -11,8 +11,11 @@ Box sums are banded matmuls (B_h @ x @ B_w with |i-j| <= r bands) — the
 MXU-idiomatic formulation; edge truncation divides by the separable
 valid-count outer product computed from iota in-register.
 
-Grid: one program per p-channel (alpha + 3 fgr channels); the guide's own
-statistics are recomputed per channel — cheaper than an HBM round-trip.
+One program computes all p-channels (alpha + 3 fgr): the guide's own
+statistics are computed once and shared across the channel loop (the
+round-1 per-channel grid recomputed them 4x — ~25% of the MACs — to
+avoid an HBM round trip; a single program shares them in VMEM and also
+saves 3 program launches).
 """
 
 from __future__ import annotations
@@ -54,8 +57,11 @@ def _count_norm(h: int, w: int, r: int) -> jax.Array:
 
 def _gf_kernel(guide_ref, p_ref, mean_a_ref, mean_b_ref, *, radius: int,
                eps: float):
+    """All p-channels in ONE program: the guide's own statistics (mean_I,
+    var_I — 2 of the 6 box sums per channel) are computed once and shared
+    across the channel loop, instead of once per channel-program (the
+    round-1 grid recomputed them 4x: ~25% of the kernel's MACs)."""
     I = guide_ref[0]
-    p = p_ref[0]
     h, w = I.shape
     inv_n = 1.0 / _count_norm(h, w, radius)
     bh = _banded(h, radius)
@@ -63,15 +69,17 @@ def _gf_kernel(guide_ref, p_ref, mean_a_ref, mean_b_ref, *, radius: int,
 
     box = lambda t: _box_sum_mm(t, bh, bw) * inv_n
     mean_I = box(I)
-    mean_p = box(p)
-    corr_Ip = box(I * p)
     corr_II = box(I * I)
     var_I = corr_II - mean_I * mean_I
-    cov_Ip = corr_Ip - mean_I * mean_p
-    a = cov_Ip / (var_I + eps)
-    b = mean_p - a * mean_I
-    mean_a_ref[0] = box(a)
-    mean_b_ref[0] = box(b)
+    for c in range(p_ref.shape[0]):
+        p = p_ref[c]
+        mean_p = box(p)
+        corr_Ip = box(I * p)
+        cov_Ip = corr_Ip - mean_I * mean_p
+        a = cov_Ip / (var_I + eps)
+        b = mean_p - a * mean_I
+        mean_a_ref[c] = box(a)
+        mean_b_ref[c] = box(b)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
@@ -88,23 +96,13 @@ def guided_filter_coeffs(guide: jax.Array, p: jax.Array, radius: int = 4,
     kernel = functools.partial(_gf_kernel, radius=radius, eps=float(eps))
 
     def one(guide_hw, p_chw):
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((c, h, w), jnp.float32),
                        jax.ShapeDtypeStruct((c, h, w), jnp.float32)),
-            grid=(c,),
-            in_specs=[
-                pl.BlockSpec((1, h, w), lambda ci: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w), lambda ci: (ci, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, h, w), lambda ci: (ci, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w), lambda ci: (ci, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
+            in_specs=[full, full],
+            out_specs=(full, full),
             interpret=interpret,
         )(guide_hw, p_chw)
 
