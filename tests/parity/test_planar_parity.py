@@ -140,3 +140,15 @@ def test_planar_fused_matches_unfused_across_pitch_regimes():
                                        atol=1e-6)
     # the wide geometry must actually exercise the fallback regime
     assert not conv2_fits(conv3x3_taps(1008), conv3x3_taps(1008))
+
+
+def test_planar_forward_matches_flax_size_variants():
+    """The planar path must reproduce the Flax model for the shipped size
+    variants too (MODEL_SIZES small/large change channel counts — GRU
+    features, sublane tiling, and split boundaries all shift)."""
+    from vidmat.config import MODEL_SIZES
+
+    for name in ("small", "large"):
+        outs = _rollout(MODEL_SIZES[name], 48, 64, frames=2, seed=11)
+        worst = max(max(o) for o in outs)
+        assert worst <= TOL, f"{name}: per-frame (alpha, fgr) MADs: {outs}"
