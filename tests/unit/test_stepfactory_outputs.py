@@ -52,3 +52,52 @@ def test_alpha_only_ignored_off_packed_paths():
                                  cdtype=jnp.float32, bg=None,
                                  use_pallas=False, alpha_only=True)
     assert not plan.alpha_only and not plan.packed
+
+
+def test_static_skip_reuses_coeffs_and_counts():
+    """static_skip_eps: identical frames take the reuse branch (skip
+    counter advances, outputs bit-stable); a changed frame takes the
+    compute branch and produces exactly what the plain body produces."""
+    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    variables = init_params(cfg)
+    h, w, ratio = 128, 192, 0.5
+    kw = dict(cdtype=jnp.bfloat16, bg=None, pallas_interpret=True,
+              use_pallas=True)
+    body_s, plan_s = build_serving_body(net, cfg, RefineConfig(), h, w,
+                                        ratio, static_skip_eps=0.5 / 255,
+                                        **kw)
+    body_p, plan_p = build_serving_body(net, cfg, RefineConfig(), h, w,
+                                        ratio, **kw)
+    assert plan_s.static_skip and not plan_p.static_skip
+
+    rng = np.random.RandomState(3)
+    f0 = rng.randint(0, 255, (1, h, w, 3), np.uint8)
+    f1 = rng.randint(0, 255, (1, h, w, 3), np.uint8)  # a real scene change
+
+    ss = plan_s.make_state(1)
+    sp = plan_p.make_state(1)
+    outs_s, outs_p = [], []
+    for f in (f0, f0, f0, f1):
+        o_s, ss = body_s(variables, jnp.asarray(f), ss)
+        o_p, sp = body_p(variables, jnp.asarray(f), sp)
+        outs_s.append(np.asarray(o_s))
+        outs_p.append(np.asarray(o_p))
+
+    # two identical repeats skipped, the scene change computed
+    assert int(np.asarray(ss[1][3])) == 2
+    # static frames: output is bit-stable across the skipped repeats
+    np.testing.assert_array_equal(outs_s[0], outs_s[1])
+    np.testing.assert_array_equal(outs_s[1], outs_s[2])
+    # first frame and the changed frame ran the same compute branch as
+    # the plain body with the same state history — equal to +-1 u8 (the
+    # lax.cond region compiles its branch separately, so XLA fuses the
+    # GF-coeff math differently at ~1 f32 ulp; measured: 1 byte of 98304
+    # off by 1)
+    d = (outs_s[0].view(np.uint8).astype(int)
+         - outs_p[0].view(np.uint8).astype(int))
+    assert np.abs(d).max() <= 1
+    assert np.isfinite(np.asarray(ss[1][1], np.float32)).all()
+
+    with np.testing.assert_raises(ValueError):
+        plan_s.make_state(2)  # batch-1 feature

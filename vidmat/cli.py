@@ -32,6 +32,11 @@ def _add_video(sub):
                         "looped if shorter than the input (overrides "
                         "--bg-image)")
     p.add_argument("--downsample-ratio", type=float, default=None)
+    p.add_argument("--static-skip-eps", type=float, default=None,
+                   metavar="EPS",
+                   help="static-scene fast path: skip the net when the "
+                        "coarse frame's mean abs delta <= EPS in [0,1] "
+                        "units (e.g. 0.002); ~2x on static content")
     p.add_argument("--preset", choices=["clip_480p", "video_1080p",
                                         "video_4k"], default=None)
     p.add_argument("--checkpoint", help="orbax checkpoint dir")
@@ -103,6 +108,14 @@ def main(argv=None) -> int:
         model_cfg = pipe_cfg = None
         if args.preset:
             model_cfg, pipe_cfg = PRESETS[args.preset]()
+        if args.static_skip_eps is not None:
+            import dataclasses
+
+            from vidmat.config import PipelineConfig
+
+            pipe_cfg = dataclasses.replace(
+                pipe_cfg or PipelineConfig(),
+                static_skip_eps=args.static_skip_eps)
         variables = (load_checkpoint(args.checkpoint)
                      if args.checkpoint else None)
         bg = tuple(float(x) for x in args.bg_color.split(","))

@@ -83,6 +83,14 @@ class PipelineConfig:
     composite_bg: Optional[Tuple[float, float, float]] = None
     # Pallas serving kernels: None = auto (on for the TPU backend).
     use_pallas: Optional[bool] = None
+    # Opt-in static-scene fast path (batch-1 fused serving): when the
+    # coarse frame's mean abs delta vs the previous frame is <= eps (in
+    # [0,1] units, e.g. 0.5/255 = 0.002), the net + GF stats are skipped
+    # via lax.cond and the cached coefficient grids are reused; the fused
+    # tail still runs on the current frame. None = off (the default —
+    # ordinary video stays on the compute branch anyway; see
+    # stepfactory.build_serving_body static_skip_eps).
+    static_skip_eps: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,6 +44,9 @@ class ServingPlan:
     pool: int           # integer area-pool factor (0 = non-integer ratio)
     packed: bool        # body returns (N,H,W) uint32 packed RGBA
     alpha_only: bool    # body returns (N,H,W) uint8 alpha (packed>>24)
+    static_skip: bool   # body carries a (net_state, coeff-cache) tuple and
+    #                     skips the net on static frames (see
+    #                     static_skip_eps)
     full: bool          # network runs at full resolution (no coarse pass)
     # Zero recurrent carry for a given batch size (None when the model is
     # non-recurrent). The carry TYPE depends on the conv path: NHWC
@@ -81,6 +84,7 @@ def build_serving_body(
     float_frames: bool = False,
     float_output: bool = False,
     alpha_only: bool = False,
+    static_skip_eps: Optional[float] = None,
 ) -> Tuple[Callable, ServingPlan]:
     """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
 
@@ -117,6 +121,20 @@ def build_serving_body(
               uint8 — a 4x smaller D2H than the packed words (2 MB vs
               8 MB at 1080p). Exact: the byte is the same quantized value
               the packed word carries. Ignored on non-packed paths.
+    static_skip_eps: opt-in static-scene fast path (temporal layer
+              caching in the ReFrame sense, PAPERS.md): when the ingested
+              coarse frame's mean abs delta vs the previous frame is
+              <= eps (in [0,1] units, e.g. 0.5/255), a lax.cond SKIPS the
+              net forward + GF-stats (only the taken branch executes on
+              TPU) and reuses the cached coefficient grids; the fused
+              tail still runs on the CURRENT frame. The carry becomes
+              (net_state, (prev_x, ma, mb, skip_count)). Batch-1 fused
+              packed path only (under vmap a cond lowers to select and
+              executes both branches — no win); ignored elsewhere. The
+              recurrent state is frozen across skipped frames — sound
+              for truly-static content (the matte should not change),
+              and the conservative default threshold keeps ordinary
+              video on the compute branch.
 
     Returns (body, plan) where
       body(variables, frame_u8 (N,h,w,3) uint8, state[, bg_frame])
@@ -212,7 +230,23 @@ def build_serving_body(
             return batch_planar_forward(planar_fwd)(variables, xp, state)
         return net.apply(variables, xp, state)
 
+    use_static_skip = (static_skip_eps is not None) and use_fused
+
     def make_state(batch: int):
+        if use_static_skip:
+            if batch != 1:
+                raise ValueError(
+                    "static_skip_eps is a batch-1 serving feature (under "
+                    "vmap a lax.cond lowers to select and executes both "
+                    "branches) — use the plain body for batched serving")
+            cache = (jnp.zeros((1, net_h, net_w, 3), cdtype),   # prev x
+                     jnp.zeros((1, net_h, net_w, 4), jnp.float32),  # ma
+                     jnp.zeros((1, net_h, net_w, 4), jnp.float32),  # mb
+                     jnp.zeros((), jnp.int32))                  # skips
+            return (_make_net_state(batch), cache)
+        return _make_net_state(batch)
+
+    def _make_net_state(batch: int):
         if not model_cfg.recurrent:
             return None
         if use_planar:
@@ -227,30 +261,39 @@ def build_serving_body(
 
         return init_state(model_cfg, batch, state_h, state_w, cdtype)
 
+    def ingest_x(frame_u8):
+        """Ingest: uint8 HWC -> float, resize, normalize — all on-device.
+        (float_frames: the input is already float32 in [0, 1].)"""
+        if use_pallas and pool and not float_frames:
+            from vidmat.ops.pallas import ingest_pool_normalize
+
+            return ingest_pool_normalize(frame_u8, pool=pool,
+                                         out_dtype=cdtype,
+                                         interpret=pallas_interpret)
+        frame = (frame_u8.astype(jnp.float32) if float_frames
+                 else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
+        x = frame.astype(cdtype)
+        if not full:
+            x = resize_bilinear(x, net_h, net_w)
+        return x
+
+    def net_from_x(variables, x, state):
+        """Recurrent net forward on an ingested coarse frame."""
+        xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
+                      mode="edge") if (pad_nh or pad_nw) else x)
+        alpha, fgr, new_state = net_apply(variables, xp, state)
+        alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
+        fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
+        return alpha, fgr, new_state
+
     def coarse_forward(variables, frame_u8, state):
         """Ingest + recurrent net forward — the coarse half of the chain,
         shared by the one-shot body and the pipeline-parallel stage split.
 
         Returns (x (N, net_h, net_w, C) coarse frame, alpha, fgr (f32,
         coarse res), new_state)."""
-        # Ingest: uint8 HWC -> float, resize, normalize — all on-device.
-        # (float_frames: the input is already float32 in [0, 1].)
-        if use_pallas and pool and not float_frames:
-            from vidmat.ops.pallas import ingest_pool_normalize
-
-            x = ingest_pool_normalize(frame_u8, pool=pool, out_dtype=cdtype,
-                                      interpret=pallas_interpret)
-        else:
-            frame = (frame_u8.astype(jnp.float32) if float_frames
-                     else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
-            x = frame.astype(cdtype)
-            if not full:
-                x = resize_bilinear(x, net_h, net_w)
-        xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
-                      mode="edge") if (pad_nh or pad_nw) else x)
-        alpha, fgr, new_state = net_apply(variables, xp, state)
-        alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
-        fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
+        x = ingest_x(frame_u8)
+        alpha, fgr, new_state = net_from_x(variables, x, state)
         return x, alpha, fgr, new_state
 
     def fused_coeffs(x, alpha, fgr, nb):
@@ -358,18 +401,47 @@ def build_serving_body(
         fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
         return (alpha_u8, fgr_u8, rgba), new_state
 
+    def body_impl_static(variables, frame_u8, state, bgv):
+        """Static-scene fast path (see static_skip_eps): the ingest +
+        delta always run; the net + GF stats run under lax.cond only when
+        the coarse frame actually changed."""
+        net_state, (prev_x, ma_p, mb_p, skips) = state
+        x = ingest_x(frame_u8)
+        delta = jnp.mean(jnp.abs(x.astype(jnp.float32)
+                                 - prev_x.astype(jnp.float32)))
+
+        def compute(args):
+            x_, st = args
+            alpha, fgr, ns = net_from_x(variables, x_, st)
+            ma, mb = fused_coeffs(x_, alpha, fgr, frame_u8.shape[0])
+            return ma, mb, ns
+
+        def reuse(args):
+            _, st = args
+            return ma_p, mb_p, st
+
+        changed = delta > static_skip_eps
+        ma, mb, ns = jax.lax.cond(changed, compute, reuse, (x, net_state))
+        out = fused_stage1(frame_u8, ma, mb, bgv)
+        if use_alpha_only:
+            out = alpha_byte(out)
+        skips = skips + (1 - changed.astype(jnp.int32))
+        return out, (ns, (x, ma, mb, skips))
+
+    impl = body_impl_static if use_static_skip else body_impl
     if bg_dynamic:
         def body(variables, frame_u8, state, bg_frame):
             # bg_frame: (N, h, w, 3) float [0,1]; the Pallas composite/
             # fused tails take an (h, w, 3) image (single-frame path).
-            return body_impl(variables, frame_u8, state, bg_frame[0])
+            return impl(variables, frame_u8, state, bg_frame[0])
     else:
         def body(variables, frame_u8, state):
-            return body_impl(variables, frame_u8, state, bg)
+            return impl(variables, frame_u8, state, bg)
 
     plan = ServingPlan(net_h=net_h, net_w=net_w, state_h=state_h,
                        state_w=state_w, pool=pool,
                        packed=use_packed, alpha_only=use_alpha_only,
+                       static_skip=use_static_skip,
                        full=full, make_state=make_state,
                        fused_stage0=fused_stage0 if use_fused else None,
                        fused_stage1=fused_stage1 if use_fused else None)

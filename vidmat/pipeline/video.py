@@ -248,7 +248,8 @@ class VideoPipeline:
             cdtype=cdtype, bg=bg, use_pallas=cfg.use_pallas,
             need_fgr=need_fgr, tile_size=cfg.tile_size,
             tile_overlap=cfg.tile_overlap, refiner=refiner,
-            bg_dynamic=bg_dynamic, alpha_only=alpha_only)
+            bg_dynamic=bg_dynamic, alpha_only=alpha_only,
+            static_skip_eps=cfg.static_skip_eps)
 
         step = jax.jit(body)
         chunk_step = None
@@ -430,4 +431,8 @@ class VideoPipeline:
         out = metrics.summary()
         out["frames"] = n
         out["dropped_frames"] = source.dropped
+        if step is not None and plan.static_skip and state is not None:
+            # Observability for the static-scene fast path: frames whose
+            # net forward was skipped (cache counter in the carry).
+            out["static_skipped"] = int(np.asarray(state[1][3]))
         return out
