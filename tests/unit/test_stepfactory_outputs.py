@@ -101,3 +101,55 @@ def test_static_skip_reuses_coeffs_and_counts():
 
     with np.testing.assert_raises(ValueError):
         plan_s.make_state(2)  # batch-1 feature
+
+
+def test_static_skip_float_tail_session():
+    """The streaming MattingSession (bf16 serving mode, float-output
+    tail) gets the static-scene fast path too: identical frames skip the
+    net (counter advances, outputs stable), and the carry save/load
+    round-trips (the coefficient cache is ephemeral — a resume
+    recomputes on its first frame)."""
+    import os
+    import tempfile
+
+    from vidmat.api import MattingSession
+    from vidmat.models.weights import init_params
+    from vidmat.pipeline import stepfactory
+
+    # interpret-mode kernels on CPU (the serving path is TPU-only
+    # otherwise): patch the builder default like the multistream tests
+    orig = stepfactory.build_serving_body
+
+    def patched(*a, **kw):
+        kw["pallas_interpret"] = True
+        kw.setdefault("use_pallas", True)
+        return orig(*a, **kw)
+
+    stepfactory.build_serving_body = patched
+    try:
+        cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
+        sess = MattingSession(128, 192, variables=init_params(cfg),
+                              model_cfg=cfg, downsample_ratio=0.5,
+                              dtype="bfloat16", static_skip_eps=0.5 / 255)
+        st = sess._stepper
+        assert st._plan.static_skip
+        rng = np.random.RandomState(5)
+        f0 = rng.randint(0, 255, (128, 192, 3), np.uint8)
+        a0, _ = sess.step(f0)
+        a1, _ = sess.step(f0)
+        a2, _ = sess.step(f0)
+        assert int(np.asarray(st.state[1][3])) == 2
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(a0, a1)
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "carry")
+            sess.save_state(p, frame_index=3)
+            idx = sess.load_state(p)
+        assert idx == 3
+        # resume: cache reset forces the compute branch on the next frame
+        assert int(np.asarray(st.state[1][3])) == 0
+        a3, _ = sess.step(f0)
+        assert np.isfinite(a3).all()
+    finally:
+        stepfactory.build_serving_body = orig

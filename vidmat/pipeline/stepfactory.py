@@ -230,7 +230,12 @@ def build_serving_body(
             return batch_planar_forward(planar_fwd)(variables, xp, state)
         return net.apply(variables, xp, state)
 
-    use_static_skip = (static_skip_eps is not None) and use_fused
+    # Static-scene fast path: any coefficient-consuming fused tail
+    # qualifies — the packed tail (convert_video) and the float tail
+    # (streaming MattingSession in bf16 serving mode). The fp32 parity
+    # stepper (float_frames) keeps the plain body.
+    use_static_skip = (static_skip_eps is not None and not float_frames
+                       and (use_fused or use_float_tail))
 
     def make_state(batch: int):
         if use_static_skip:
@@ -422,9 +427,15 @@ def build_serving_body(
 
         changed = delta > static_skip_eps
         ma, mb, ns = jax.lax.cond(changed, compute, reuse, (x, net_state))
-        out = fused_stage1(frame_u8, ma, mb, bgv)
-        if use_alpha_only:
-            out = alpha_byte(out)
+        if use_fused:
+            out = fused_stage1(frame_u8, ma, mb, bgv)
+            if use_alpha_only:
+                out = alpha_byte(out)
+        else:  # use_float_tail (streaming float contract)
+            from vidmat.ops.pallas.refine_kernel import fused_refine_float
+
+            out = fused_refine_float(frame_u8, ma, mb, pool=pool,
+                                     interpret=pallas_interpret)
         skips = skips + (1 - changed.astype(jnp.int32))
         return out, (ns, (x, ma, mb, skips))
 

@@ -101,7 +101,8 @@ class VideoStepper:
     def __init__(self, cfg: ModelConfig, height: int, width: int,
                  variables=None, downsample_ratio: float = 1.0,
                  dtype: str = "float32", guided_radius: int = 4,
-                 guided_eps: float = 1e-4):
+                 guided_eps: float = 1e-4,
+                 static_skip_eps: Optional[float] = None):
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16 "
                              "(pad with pipeline.stepper.pad_to_multiple)")
@@ -137,7 +138,11 @@ class VideoStepper:
             # Parity mode pins the historical pure-XLA float path; serving
             # mode lets the factory pick the kernels for the backend.
             use_pallas=False if self._parity else None,
-            float_frames=self._parity, float_output=True)
+            float_frames=self._parity, float_output=True,
+            # Static-scene fast path (serving mode only — the factory
+            # ignores it in fp32 parity mode): skip the net when the
+            # coarse frame is unchanged, ~2x on static content.
+            static_skip_eps=static_skip_eps)
         self._plan = plan
         self._step = jax.jit(body)
         self.reset()
@@ -163,13 +168,18 @@ class VideoStepper:
     # -- mid-video resume (SURVEY.md §5 checkpoint/resume: the pipeline
     # carry is itself a checkpointable pytree) --
 
+    def _net_state(self):
+        """The recurrent net carry (the static-skip coefficient cache, if
+        any, is ephemeral — resumes recompute it on the first frame)."""
+        return self.state[0] if self._plan.static_skip else self.state
+
     def save_state(self, path: str, frame_index: int = 0) -> None:
         """Persist the temporal carry + position for mid-video resume."""
         from vidmat.models.weights import save_checkpoint
 
+        ns = self._net_state()
         carry = {"frame_index": jnp.asarray(frame_index),
-                 "state": (self.state._asdict() if self.state is not None
-                           else {})}
+                 "state": (ns._asdict() if ns is not None else {})}
         save_checkpoint(path, carry)
 
     def load_state(self, path: str) -> int:
@@ -178,8 +188,9 @@ class VideoStepper:
         PlanarState planes on the planar path)."""
         from vidmat.models.weights import load_checkpoint
 
+        ns_cur = self._net_state()
         template = {"frame_index": jnp.asarray(0),
-                    "state": (self.state._asdict() if self.state is not None
+                    "state": (ns_cur._asdict() if ns_cur is not None
                               else {})}
         carry = load_checkpoint(path, template=template)
         if carry["state"]:
@@ -188,7 +199,7 @@ class VideoStepper:
             # field names, so a carry saved under a different path/config
             # restores silently and then crashes deep in the next step()
             # with an opaque shape assert — validate here instead.
-            cur = self.state._asdict()
+            cur = ns_cur._asdict()
             for k, v in carry["state"].items():
                 if tuple(np.shape(v)) != tuple(cur[k].shape):
                     raise ValueError(
@@ -199,7 +210,13 @@ class VideoStepper:
                         "NHWC and planar carries are not interchangeable — "
                         "resume with the same dtype/backend/preset it was "
                         "saved under)")
-            self.state = type(self.state)(
+            ns = type(ns_cur)(
                 **{k: jnp.asarray(v, self.dtype)
                    for k, v in carry["state"].items()})
+            if self._plan.static_skip:
+                # fresh cache: the first resumed frame recomputes (prev_x
+                # zeros force the compute branch)
+                self.state = (ns, self._plan.make_state(1)[1])
+            else:
+                self.state = ns
         return int(carry["frame_index"])
