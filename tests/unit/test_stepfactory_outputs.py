@@ -153,3 +153,53 @@ def test_static_skip_float_tail_session():
         assert np.isfinite(a3).all()
     finally:
         stepfactory.build_serving_body = orig
+
+
+def test_static_skip_need_fgr_keeps_tuple_contract():
+    """need_fgr (raw-foreground consumers) forces the u8-tuple output;
+    the static-skip body must preserve that contract (the first cut
+    returned raw floats and crashed flush's 3-tuple unpack)."""
+    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    variables = init_params(cfg)
+    h, w = 128, 192
+    body, plan = build_serving_body(net, cfg, RefineConfig(), h, w, 0.5,
+                                    cdtype=jnp.bfloat16, bg=None,
+                                    need_fgr=True, use_pallas=True,
+                                    pallas_interpret=True,
+                                    static_skip_eps=0.5 / 255)
+    assert plan.static_skip and not plan.packed
+    f = np.random.RandomState(1).randint(0, 255, (1, h, w, 3), np.uint8)
+    outs, st = body(variables, jnp.asarray(f), plan.make_state(1))
+    assert isinstance(outs, tuple) and len(outs) == 3
+    alpha_u8, fgr_u8, rgba = outs
+    assert alpha_u8.dtype == jnp.uint8 and fgr_u8.shape == (1, h, w, 3)
+    # and the skip branch keeps the same contract
+    outs2, st = body(variables, jnp.asarray(f), st)
+    assert isinstance(outs2, tuple) and len(outs2) == 3
+    assert int(np.asarray(st[1][3])) == 1
+
+
+def test_static_skip_drift_bounded_by_reference_frame():
+    """The skip delta compares against the frame the cached coefficients
+    were computed FROM (not the merely-previous frame): a slow fade with
+    sub-eps per-frame steps must still recompute once the cumulative
+    drift vs the reference exceeds eps."""
+    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    variables = init_params(cfg)
+    h, w = 128, 192
+    body, plan = build_serving_body(net, cfg, RefineConfig(), h, w, 0.5,
+                                    cdtype=jnp.bfloat16, bg=None,
+                                    use_pallas=True, pallas_interpret=True,
+                                    static_skip_eps=2.0 / 255)
+    base = np.random.RandomState(2).randint(0, 200, (1, h, w, 3), np.uint8)
+    st = plan.make_state(1)
+    # +1 u8 per frame: per-frame delta ~1/255 < eps, cumulative crosses
+    # eps=2/255 after ~3 frames — with previous-frame comparison this
+    # sequence would never recompute.
+    for i in range(6):
+        f = (base + np.uint8(i)).astype(np.uint8)
+        _, st = body(variables, jnp.asarray(f), st)
+    skips = int(np.asarray(st[1][3]))
+    assert 0 < skips < 5, skips  # some skipped, but recomputes happened

@@ -60,7 +60,9 @@ def _gf_kernel(guide_ref, p_ref, mean_a_ref, mean_b_ref, *, radius: int,
     """All p-channels in ONE program: the guide's own statistics (mean_I,
     var_I — 2 of the 6 box sums per channel) are computed once and shared
     across the channel loop, instead of once per channel-program (the
-    round-1 grid recomputed them 4x: ~25% of the kernel's MACs)."""
+    round-1 grid recomputed them 4x: ~25% of the kernel's MACs). The
+    resident set is ~(1 + 3C) planes — _shared_fits guards it and large
+    grids fall back to the per-channel variant below."""
     I = guide_ref[0]
     h, w = I.shape
     inv_n = 1.0 / _count_norm(h, w, radius)
@@ -82,6 +84,41 @@ def _gf_kernel(guide_ref, p_ref, mean_a_ref, mean_b_ref, *, radius: int,
         mean_b_ref[c] = box(b)
 
 
+def _gf_kernel_perchannel(guide_ref, p_ref, mean_a_ref, mean_b_ref, *,
+                          radius: int, eps: float):
+    """Per-channel-program variant (grid over channels): holds only ~4
+    planes resident — the fallback when the shared-stats program would
+    exceed scoped VMEM (large coarse grids, e.g. 540x960 at pool=2). The
+    guide statistics are recomputed per channel (cheaper than an HBM
+    round trip); outputs are identical math to _gf_kernel."""
+    I = guide_ref[0]
+    p = p_ref[0]
+    h, w = I.shape
+    inv_n = 1.0 / _count_norm(h, w, radius)
+    bh = _banded(h, radius)
+    bw = _banded(w, radius)
+
+    box = lambda t: _box_sum_mm(t, bh, bw) * inv_n
+    mean_I = box(I)
+    mean_p = box(p)
+    corr_Ip = box(I * p)
+    corr_II = box(I * I)
+    var_I = corr_II - mean_I * mean_I
+    cov_Ip = corr_Ip - mean_I * mean_p
+    a = cov_Ip / (var_I + eps)
+    b = mean_p - a * mean_I
+    mean_a_ref[0] = box(a)
+    mean_b_ref[0] = box(b)
+
+
+def _shared_fits(h: int, w: int, c: int, budget: int = 11 * 2**20) -> bool:
+    """Whether the shared-stats single program fits scoped VMEM: input +
+    output planes (1 + 3C of (h, w) f32), both banded matrices, and ~3
+    live box-sum temporaries."""
+    plane = h * w * 4
+    return ((1 + 3 * c + 3) * plane + (h * h + w * w) * 4) <= budget
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "interpret"))
 def guided_filter_coeffs(guide: jax.Array, p: jax.Array, radius: int = 4,
                          eps: float = 1e-4, interpret: bool = False):
@@ -93,18 +130,44 @@ def guided_filter_coeffs(guide: jax.Array, p: jax.Array, radius: int = 4,
     resolution is ``upsample(mean_a) * guide_full + upsample(mean_b)``.
     """
     n, h, w, c = p.shape
-    kernel = functools.partial(_gf_kernel, radius=radius, eps=float(eps))
+    if _shared_fits(h, w, c):
+        kernel = functools.partial(_gf_kernel, radius=radius,
+                                   eps=float(eps))
 
-    def one(guide_hw, p_chw):
-        full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            out_shape=(jax.ShapeDtypeStruct((c, h, w), jnp.float32),
-                       jax.ShapeDtypeStruct((c, h, w), jnp.float32)),
-            in_specs=[full, full],
-            out_specs=(full, full),
-            interpret=interpret,
-        )(guide_hw, p_chw)
+        def one(guide_hw, p_chw):
+            full = pl.BlockSpec(memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                out_shape=(jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+                           jax.ShapeDtypeStruct((c, h, w), jnp.float32)),
+                in_specs=[full, full],
+                out_specs=(full, full),
+                interpret=interpret,
+            )(guide_hw, p_chw)
+    else:
+        kernel = functools.partial(_gf_kernel_perchannel, radius=radius,
+                                   eps=float(eps))
+
+        def one(guide_hw, p_chw):
+            return pl.pallas_call(
+                kernel,
+                out_shape=(jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+                           jax.ShapeDtypeStruct((c, h, w), jnp.float32)),
+                grid=(c,),
+                in_specs=[
+                    pl.BlockSpec((1, h, w), lambda ci: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, h, w), lambda ci: (ci, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, h, w), lambda ci: (ci, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, h, w), lambda ci: (ci, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                interpret=interpret,
+            )(guide_hw, p_chw)
 
     guide_n = jnp.transpose(guide.astype(jnp.float32), (0, 3, 1, 2))
     p_n = jnp.transpose(p.astype(jnp.float32), (0, 3, 1, 2))

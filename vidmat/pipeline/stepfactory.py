@@ -244,7 +244,11 @@ def build_serving_body(
                     "static_skip_eps is a batch-1 serving feature (under "
                     "vmap a lax.cond lowers to select and executes both "
                     "branches) — use the plain body for batched serving")
-            cache = (jnp.zeros((1, net_h, net_w, 3), cdtype),   # prev x
+            # ref_x = +inf: the first frame's delta is +inf, forcing the
+            # compute branch even on near-black content (a zero init
+            # would reuse the zero coefficients whenever the first frames
+            # are within eps of black).
+            cache = (jnp.full((1, net_h, net_w, 3), jnp.inf, cdtype),
                      jnp.zeros((1, net_h, net_w, 4), jnp.float32),  # ma
                      jnp.zeros((1, net_h, net_w, 4), jnp.float32),  # mb
                      jnp.zeros((), jnp.int32))                  # skips
@@ -390,8 +394,15 @@ def build_serving_body(
             alpha, fgr = guided_upsample(
                 frame, alpha, fgr, refine.guided_radius, refine.guided_eps,
                 impl=gf_impl, interpret=pallas_interpret)
+        return finish_float(alpha, fgr, bgv), new_state
+
+    def finish_float(alpha, fgr, bgv):
+        """Output packaging once full-res float alpha/fgr exist — one
+        implementation for the plain and static-skip bodies (the first
+        static-skip cut duplicated the tail dispatch and silently dropped
+        the need_fgr quantize/composite contract)."""
         if float_output:
-            return (alpha, fgr), new_state
+            return (alpha, fgr)
         if use_packed:
             from vidmat.ops.pallas import composite_rgba_packed
 
@@ -399,45 +410,52 @@ def build_serving_body(
             # is the low 24 bits — writers unpack the single packed D2H.
             packed = composite_rgba_packed(fgr, alpha, bgv,
                                            interpret=pallas_interpret)
-            return (alpha_byte(packed) if use_alpha_only
-                    else packed), new_state
+            return alpha_byte(packed) if use_alpha_only else packed
         rgba = composite_rgba(fgr, alpha, bgv)
         alpha_u8 = jnp.round(alpha * 255.0).astype(jnp.uint8)
         fgr_u8 = jnp.round(fgr * 255.0).astype(jnp.uint8)
-        return (alpha_u8, fgr_u8, rgba), new_state
+        return (alpha_u8, fgr_u8, rgba)
 
     def body_impl_static(variables, frame_u8, state, bgv):
         """Static-scene fast path (see static_skip_eps): the ingest +
         delta always run; the net + GF stats run under lax.cond only when
-        the coarse frame actually changed."""
-        net_state, (prev_x, ma_p, mb_p, skips) = state
+        the coarse frame changed vs the frame the CACHED COEFFICIENTS
+        were computed from — comparing against the merely-previous frame
+        would let sub-eps-per-frame drift (a slow fade) grow unboundedly
+        without ever recomputing. The reference frame initializes to +inf
+        (make_state) so the first frame — and the first frame after a
+        resume — always takes the compute branch, even on near-black
+        content."""
+        net_state, (ref_x, ma_p, mb_p, skips) = state
         x = ingest_x(frame_u8)
         delta = jnp.mean(jnp.abs(x.astype(jnp.float32)
-                                 - prev_x.astype(jnp.float32)))
+                                 - ref_x.astype(jnp.float32)))
 
         def compute(args):
             x_, st = args
             alpha, fgr, ns = net_from_x(variables, x_, st)
             ma, mb = fused_coeffs(x_, alpha, fgr, frame_u8.shape[0])
-            return ma, mb, ns
+            return x_, ma, mb, ns
 
         def reuse(args):
             _, st = args
-            return ma_p, mb_p, st
+            return ref_x, ma_p, mb_p, st
 
         changed = delta > static_skip_eps
-        ma, mb, ns = jax.lax.cond(changed, compute, reuse, (x, net_state))
+        ref_x, ma, mb, ns = jax.lax.cond(changed, compute, reuse,
+                                         (x, net_state))
         if use_fused:
             out = fused_stage1(frame_u8, ma, mb, bgv)
             if use_alpha_only:
                 out = alpha_byte(out)
-        else:  # use_float_tail (streaming float contract)
+        else:  # use_float_tail: full-res float alpha/fgr, shared packaging
             from vidmat.ops.pallas.refine_kernel import fused_refine_float
 
-            out = fused_refine_float(frame_u8, ma, mb, pool=pool,
-                                     interpret=pallas_interpret)
+            alpha, fgr = fused_refine_float(frame_u8, ma, mb, pool=pool,
+                                            interpret=pallas_interpret)
+            out = finish_float(alpha, fgr, bgv)
         skips = skips + (1 - changed.astype(jnp.int32))
-        return out, (ns, (x, ma, mb, skips))
+        return out, (ns, (ref_x, ma, mb, skips))
 
     impl = body_impl_static if use_static_skip else body_impl
     if bg_dynamic:

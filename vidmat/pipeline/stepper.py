@@ -213,10 +213,15 @@ class VideoStepper:
             ns = type(ns_cur)(
                 **{k: jnp.asarray(v, self.dtype)
                    for k, v in carry["state"].items()})
-            if self._plan.static_skip:
-                # fresh cache: the first resumed frame recomputes (prev_x
-                # zeros force the compute branch)
-                self.state = (ns, self._plan.make_state(1)[1])
-            else:
-                self.state = ns
+        else:
+            ns = ns_cur
+        if self._plan.static_skip:
+            # Fresh cache UNCONDITIONALLY (also for non-recurrent models,
+            # whose carry dict is empty): the +inf reference frame forces
+            # the compute branch on the first resumed frame — stale
+            # coefficients from pre-load content must never survive a
+            # resume.
+            self.state = (ns, self._plan.make_state(1)[1])
+        elif carry["state"]:
+            self.state = ns
         return int(carry["frame_index"])
