@@ -351,3 +351,30 @@ def test_bg_video_path_loops_file(tmp_path):
     while cap.read()[0]:
         got += 1
     assert got == 5
+
+
+def test_image_sequence_input_round_trip(tmp_path):
+    """convert_video accepts an image-sequence input (directory / printf
+    pattern / glob) — the symmetric counterpart of VideoWriter's
+    PNG-sequence output: a written sequence converts back."""
+    import vidmat
+    from vidmat.io.fixtures import synthetic_frames_only
+    from vidmat.io.writer import VideoWriter
+
+    src = tmp_path / "seq"
+    wtr = VideoWriter(str(src / "%05d.png"), fps=30.0)
+    frames = list(synthetic_frames_only(64, 96, 5))
+    for f in frames:
+        wtr.write(f)
+    wtr.close()
+
+    out_dir = tmp_path / "alpha"
+    for inp in (str(src),                      # directory
+                str(src / "%05d.png"),         # printf pattern
+                str(src / "*.png")):           # glob
+        m = vidmat.convert_video(inp,
+                                 output_alpha=str(out_dir / "a_%03d.png"),
+                                 downsample_ratio=1.0)
+        assert m["frames"] == 5, (inp, m)
+    outs = sorted(out_dir.glob("a_*.png"))
+    assert len(outs) == 5

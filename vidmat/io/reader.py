@@ -71,6 +71,47 @@ class VideoReader:
         self.cap.release()
 
 
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+def image_sequence(path: str):
+    """Frame iterator over an image sequence, or None when ``path`` does
+    not name one. Accepted forms (the symmetric counterparts of
+    VideoWriter's PNG-sequence output modes):
+
+      - a directory of image files (sorted by name)
+      - a printf-style pattern (``frames/alpha_%05d.png``)
+      - a glob (``frames/*.png``)
+
+    Frames with an alpha channel are delivered as RGB (the matte input
+    contract); grayscale images are broadcast to 3 channels."""
+    import glob as _glob
+    import os
+    import re
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if os.path.splitext(f)[1].lower() in _IMG_EXTS)
+    elif "%" in os.path.basename(path):
+        files = sorted(_glob.glob(re.sub(r"%0?\d*d", "*", path)))
+    elif any(ch in path for ch in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        return None
+    if not files:
+        return None
+
+    def gen():
+        for p in files:
+            img = read_image(p)
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            yield np.ascontiguousarray(img[..., :3])
+
+    return gen()
+
+
 class FrameSource:
     """Threaded prefetching frame source over any frame iterable.
 
@@ -87,9 +128,14 @@ class FrameSource:
     def __init__(self, frames: Union[str, Iterable[np.ndarray]],
                  prefetch: int = 8, fault_hook=None):
         if isinstance(frames, str):
-            reader = VideoReader(frames)
-            self.fps = reader.fps
-            self.frames: Iterable[np.ndarray] = reader
+            seq = image_sequence(frames)
+            if seq is not None:
+                self.fps = 30.0
+                self.frames: Iterable[np.ndarray] = seq
+            else:
+                reader = VideoReader(frames)
+                self.fps = reader.fps
+                self.frames = reader
         else:
             self.fps = 30.0
             self.frames = frames
