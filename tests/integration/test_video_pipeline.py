@@ -378,3 +378,31 @@ def test_image_sequence_input_round_trip(tmp_path):
         assert m["frames"] == 5, (inp, m)
     outs = sorted(out_dir.glob("a_*.png"))
     assert len(outs) == 5
+
+
+def test_cli_static_skip_flag(tmp_path):
+    """CLI --static-skip-eps plumbs through to PipelineConfig (the fast
+    path itself needs the fused TPU tail — on CPU the flag must be a
+    harmless no-op and the conversion still correct)."""
+    import cv2
+
+    from vidmat.cli import main as cli_main
+    from vidmat.io.fixtures import synthetic_frames_only
+    from vidmat.io.writer import VideoWriter
+
+    h, w = 48, 64
+    inp = str(tmp_path / "in.mp4")
+    vw = VideoWriter(inp, 10)
+    for f in synthetic_frames_only(h, w, 4):
+        vw.write(f)
+    vw.close()
+    out = str(tmp_path / "a.mp4")
+    rc = cli_main(["video", inp, "--output-alpha", out,
+                   "--static-skip-eps", "0.002",
+                   "--downsample-ratio", "1.0"])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 4
