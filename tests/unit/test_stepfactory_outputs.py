@@ -203,3 +203,44 @@ def test_static_skip_drift_bounded_by_reference_frame():
         _, st = body(variables, jnp.asarray(f), st)
     skips = int(np.asarray(st[1][3]))
     assert 0 < skips < 5, skips  # some skipped, but recomputes happened
+
+
+def test_static_skip_quality_neutral_on_mixed_content():
+    """QUALITY gate for the fast path on mixed static/moving content
+    (shipped trained weights, ground-truth alpha): per-frame matte
+    quality with skipping must match the plain body. Bit-equality is NOT
+    expected — the recurrent state freezes across skipped frames (the
+    documented caveat), so post-skip frames differ transiently by a few
+    u8 — but MAD vs ground truth must stay equal within a third of the
+    checkpoint's own error."""
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.models.weights import default_variables
+
+    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    variables = default_variables(cfg)  # checkpoints/fast_demo
+    h, w = 128, 192
+    kw = dict(cdtype=jnp.bfloat16, bg=None, pallas_interpret=True,
+              use_pallas=True)
+    body_s, plan_s = build_serving_body(net, cfg, RefineConfig(), h, w,
+                                        0.5, static_skip_eps=0.5 / 255,
+                                        **kw)
+    body_p, plan_p = build_serving_body(net, cfg, RefineConfig(), h, w,
+                                        0.5, **kw)
+
+    # 3 held frames (t fixed), then 3 moving frames
+    ts = [0.2, 0.2, 0.2, 0.4, 0.6, 0.8]
+    clip = [synthetic_frame(h, w, t, seed=4) for t in ts]
+    ss, sp = plan_s.make_state(1), plan_p.make_state(1)
+    mads_s, mads_p = [], []
+    for f, gt in clip:
+        fj = jnp.asarray(f[None])
+        o_s, ss = body_s(variables, fj, ss)
+        o_p, sp = body_p(variables, fj, sp)
+        a_s = ((np.asarray(o_s)[0] >> 24) / 255.0).astype(np.float32)
+        a_p = ((np.asarray(o_p)[0] >> 24) / 255.0).astype(np.float32)
+        mads_s.append(np.abs(a_s - gt[..., 0]).mean())
+        mads_p.append(np.abs(a_p - gt[..., 0]).mean())
+    assert int(np.asarray(ss[1][3])) == 2  # the two held repeats skipped
+    for ms, mp in zip(mads_s, mads_p):
+        assert ms <= mp + max(0.3 * mp, 1e-3), (mads_s, mads_p)
