@@ -439,6 +439,13 @@ def main() -> None:
                 else pcfg.chunk_size)
     if chunk == 1:
         step = jax.jit(body)
+    elif getattr(plan, "chunk_body", None) is not None:
+        # Chunk-batched dispatch — what the pipeline's chunk_size path
+        # serves: the stateless work (ingest, planar encoder, GF stats,
+        # fused tail) batches over the K frames, only the recurrent
+        # decoder scans (stepfactory chunk_body; bit-exact vs the scan
+        # below).
+        step = jax.jit(plan.chunk_body)
     else:
         # K-frame dispatch: identical to the pipeline's chunk_size path
         # (vidmat.pipeline.scan) — one jitted lax.scan call per K frames.

@@ -244,3 +244,56 @@ def test_static_skip_quality_neutral_on_mixed_content():
     assert int(np.asarray(ss[1][3])) == 2  # the two held repeats skipped
     for ms, mp in zip(mads_s, mads_p):
         assert ms <= mp + max(0.3 * mp, 1e-3), (mads_s, mads_p)
+
+
+def test_chunk_body_bit_exact_vs_per_frame():
+    """The chunk-batched dispatch body (stateless work vmapped over the
+    K-frame chunk, only the recurrent decoder scanned) must be
+    bit-identical to running the per-frame body sequentially — vmapped
+    Pallas just adds a grid dimension."""
+    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    variables = init_params(cfg)
+    h, w, k = 128, 192, 3
+    body, plan = build_serving_body(net, cfg, RefineConfig(), h, w, 0.5,
+                                    cdtype=jnp.bfloat16, bg=None,
+                                    use_pallas=True, pallas_interpret=True)
+    assert plan.chunk_body is not None
+
+    rng = np.random.RandomState(8)
+    frames = jnp.asarray(rng.randint(0, 255, (k, 1, h, w, 3), np.uint8))
+    st = plan.make_state(1)
+    outs_c, ns_c = plan.chunk_body(variables, frames, st)
+
+    st = plan.make_state(1)
+    outs_p = []
+    for i in range(k):
+        o, st = body(variables, frames[i], st)
+        outs_p.append(np.asarray(o))
+    np.testing.assert_array_equal(np.asarray(outs_c),
+                                  np.stack(outs_p))
+    for a, b in zip(ns_c, st):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunk_body_alpha_only():
+    """Chunk-batched + alpha_only: (K, 1, H, W) uint8 output, equal to
+    the packed high byte."""
+    cfg = ModelConfig(space_to_depth=2, conv_impl="planar")
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    variables = init_params(cfg)
+    h, w, k = 128, 192, 2
+    _, plan_a = build_serving_body(net, cfg, RefineConfig(), h, w, 0.5,
+                                   cdtype=jnp.bfloat16, bg=None,
+                                   use_pallas=True, pallas_interpret=True,
+                                   alpha_only=True)
+    _, plan_p = build_serving_body(net, cfg, RefineConfig(), h, w, 0.5,
+                                   cdtype=jnp.bfloat16, bg=None,
+                                   use_pallas=True, pallas_interpret=True)
+    frames = jnp.asarray(np.random.RandomState(9).randint(
+        0, 255, (k, 1, h, w, 3), np.uint8))
+    outs_a, _ = plan_a.chunk_body(variables, frames, plan_a.make_state(1))
+    outs_p, _ = plan_p.chunk_body(variables, frames, plan_p.make_state(1))
+    assert outs_a.dtype == jnp.uint8 and outs_a.shape == (k, 1, h, w)
+    np.testing.assert_array_equal(
+        np.asarray(outs_a), (np.asarray(outs_p) >> 24).astype(np.uint8))

@@ -266,7 +266,41 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
                               st["bn"]["mean"], st["bn"]["var"], eps)
         return p["conv"]["kernel"], scale, bias
 
-    def forward(variables, frame, state: Optional[PlanarState]):
+    def split_tap_weights(kernel, splits):
+        """Per-plane tap stacks for a conv over a multi-plane concat
+        (one implementation for the plain, fused-pair, and fused-GRU
+        call sites)."""
+        ws = []
+        o = 0
+        for csz in splits:
+            ws.append(conv_tap_weights(kernel[:, :, o:o + csz], dtype))
+            o += csz
+        return ws
+
+    def pack_stride2(plane, level):
+        """s2d(2)-packed plane at level+1 geometry + stride-2 tap
+        weights factory — the shared input form of a stride-2 conv."""
+        h, w = g[level]
+        return grid_to_plane(s2d_grid(plane_to_grid(plane, h, w), 2))
+
+    def stride2_conv(plane, level, kernel, scale, bias):
+        """ConvBNAct stride 2: level grid -> level+1 grid."""
+        wst = stride2_tap_weights_jnp(kernel, kernel.shape[2], dtype)
+        return kconv([pack_stride2(plane, level)], [wst], taps2[level],
+                     scale, bias, masks[level + 1])
+
+    def conv3(planes, level, kernel, scale, bias, splits, act="relu"):
+        """3x3 stride-1 ConvBNAct over a multi-plane concat."""
+        return kconv(planes, split_tap_weights(kernel, splits),
+                     taps3[level], scale, bias, masks[level], act=act)
+
+    def encode(variables, frame):
+        """Stateless half: ingest-to-planes + encoder + bottleneck. The
+        returned tuple of planes is a plain pytree, so offline chunked
+        conversion can jax.vmap this half over a K-frame chunk (the
+        recurrent decode below stays a scan) — the encoder kernels then
+        amortize their per-launch overhead K-fold exactly like the
+        multistream batch does."""
         prm = variables["params"]
         stt = variables["batch_stats"]
         enc_p, enc_s = prm["encoder"], stt["encoder"]
@@ -276,35 +310,8 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         rgb = fg[:3].astype(jnp.float32)
         xg = s2d_grid(fg.astype(dtype), s) if s > 1 else fg.astype(dtype)
         x_in = grid_to_plane(xg)                          # level-0 plane
-        c_in0 = xg.shape[0]
-
-        def split_tap_weights(kernel, splits):
-            """Per-plane tap stacks for a conv over a multi-plane concat
-            (one implementation for the plain, fused-pair, and fused-GRU
-            call sites)."""
-            ws = []
-            o = 0
-            for csz in splits:
-                ws.append(conv_tap_weights(kernel[:, :, o:o + csz], dtype))
-                o += csz
-            return ws
-
-        def pack_stride2(plane, level):
-            """s2d(2)-packed plane at level+1 geometry + stride-2 tap
-            weights factory — the shared input form of a stride-2 conv."""
-            h, w = g[level]
-            return grid_to_plane(s2d_grid(plane_to_grid(plane, h, w), 2))
-
-        def stride2_conv(plane, level, kernel, scale, bias):
-            """ConvBNAct stride 2: level grid -> level+1 grid."""
-            wst = stride2_tap_weights_jnp(kernel, kernel.shape[2], dtype)
-            return kconv([pack_stride2(plane, level)], [wst], taps2[level],
-                         scale, bias, masks[level + 1])
-
-        def conv3(planes, level, kernel, scale, bias, splits, act="relu"):
-            """3x3 stride-1 ConvBNAct over a multi-plane concat."""
-            return kconv(planes, split_tap_weights(kernel, splits),
-                         taps3[level], scale, bias, masks[level], act=act)
+        tri = (fg[3:4] if cfg.use_trimap and frame.shape[-1] >= 4
+               else None)
 
         def enc_stage(plane, level, name_a, name_b):
             """Encoder stage: stride-2 ConvBNAct (level -> level+1) + 3x3
@@ -342,6 +349,14 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         gb = bp["gate"]["bias"].astype(jnp.float32)
         gate = jax.nn.sigmoid(gmean @ gk + gb)               # (F,)
         b4 = (proj.astype(jnp.float32) * gate[:, None]).astype(dtype)
+        return x_in, rgb, tri, f1, f2, f3, b4
+
+    def decode(variables, enc, state: Optional[PlanarState]):
+        """Recurrent half: decoder stages + full-res head on an encoded
+        frame (`enc` = encode()'s tuple)."""
+        prm = variables["params"]
+        stt = variables["batch_stats"]
+        x_in, rgb, tri, f1, f2, f3, b4 = enc
 
         # ---- decoder (matting_net.py DecoderStage: upsample + skip concat
         #      + conv + split-half ConvGRU)
@@ -399,7 +414,7 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         cond = x_in if s > 1 else grid_to_plane(rgb.astype(dtype))
         k, sc, bi = cba_w(prm["d0"], stt["d0"])
         splits = tuple(pl_.shape[0] for pl_ in ups) + (
-            c_in0 if s > 1 else 3,)
+            x_in.shape[0] if s > 1 else 3,)
         hk = prm["head"]["kernel"]
         hb = prm["head"]["bias"].astype(jnp.float32)[:, None]
         ones = jnp.ones((hk.shape[3], 1), jnp.float32)
@@ -424,8 +439,7 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         alpha = jnp.clip(og[0:1], 0.0, 1.0)
         fgr = jnp.clip(og[1:4] + rgb, 0.0, 1.0)
 
-        if cfg.use_trimap and frame.shape[-1] >= 4:
-            tri = fg[3:4]
+        if tri is not None:
             alpha = jnp.where(tri >= 0.75, 1.0,
                               jnp.where(tri <= 0.25, 0.0, alpha))
 
@@ -435,4 +449,9 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         fgr_nhwc = jnp.transpose(fgr, (1, 2, 0))[None]
         return alpha_nhwc, fgr_nhwc, new_state
 
+    def forward(variables, frame, state: Optional[PlanarState]):
+        return decode(variables, encode(variables, frame), state)
+
+    forward.encode = encode
+    forward.decode = decode
     return forward

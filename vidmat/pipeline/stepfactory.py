@@ -48,6 +48,12 @@ class ServingPlan:
     #                     skips the net on static frames (see
     #                     static_skip_eps)
     full: bool          # network runs at full resolution (no coarse pass)
+    # Chunk-batched dispatch body (or None): takes (K, 1, H, W, 3) uint8
+    # frames and runs the STATELESS work (ingest + planar encoder +
+    # bottleneck + GF stats + fused tail) batched over the chunk — only
+    # the recurrent decoder scans. Same contract as lax.scan-ning the
+    # per-frame body: (outs (K, ...), new_state).
+    chunk_body: object = None
     # Zero recurrent carry for a given batch size (None when the model is
     # non-recurrent). The carry TYPE depends on the conv path: NHWC
     # RecurrentState for "xla", planar planes for "planar".
@@ -457,6 +463,47 @@ def build_serving_body(
         skips = skips + (1 - changed.astype(jnp.int32))
         return out, (ns, (ref_x, ma, mb, skips))
 
+    # Chunk-batched dispatch (offline conversion, chunk_size > 1): the
+    # per-frame body's work is ~60% stateless — ingest, planar encoder,
+    # bottleneck, GF stats, and the fused tail have no frame-to-frame
+    # dependency; only the GRU decoder does. Batch the stateless work
+    # over the K-frame chunk (multistream-style per-launch amortization;
+    # the encoder kernels run once with a K-deep grid instead of K
+    # launches) and scan only the decoder. Bit-exact vs scanning the
+    # per-frame body (vmapped Pallas adds a grid dimension; pinned by
+    # the chunked-vs-per-frame tests).
+    chunk_body = None
+    if (use_fused and planar_fwd is not None and not bg_dynamic
+            and not use_static_skip and not float_frames):
+        def chunk_body(variables, frames_u8, state):
+            k = frames_u8.shape[0]
+
+            def enc_one(fr):
+                x = ingest_x(fr)
+                xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw),
+                                  (0, 0)), mode="edge")
+                      if (pad_nh or pad_nw) else x)
+                return x, planar_fwd.encode(variables, xp)
+
+            xs, encs = jax.vmap(enc_one)(frames_u8)
+
+            def sbody(st, enc):
+                alpha, fgr, ns = planar_fwd.decode(variables, enc, st)
+                return ns, (alpha[:, :net_h, :net_w].astype(jnp.float32),
+                            fgr[:, :net_h, :net_w].astype(jnp.float32))
+
+            new_state, (alphas, fgrs) = jax.lax.scan(sbody, state, encs)
+            x_k = xs.reshape((k,) + xs.shape[2:])
+            ma, mb = fused_coeffs(x_k,
+                                  alphas.reshape((k,) + alphas.shape[2:]),
+                                  fgrs.reshape((k,) + fgrs.shape[2:]), k)
+            out = fused_stage1(frames_u8.reshape((k,)
+                                                 + frames_u8.shape[2:]),
+                               ma, mb, bg)
+            if use_alpha_only:
+                out = alpha_byte(out)
+            return out[:, None], new_state
+
     impl = body_impl_static if use_static_skip else body_impl
     if bg_dynamic:
         def body(variables, frame_u8, state, bg_frame):
@@ -473,5 +520,6 @@ def build_serving_body(
                        static_skip=use_static_skip,
                        full=full, make_state=make_state,
                        fused_stage0=fused_stage0 if use_fused else None,
-                       fused_stage1=fused_stage1 if use_fused else None)
+                       fused_stage1=fused_stage1 if use_fused else None,
+                       chunk_body=chunk_body)
     return body, plan

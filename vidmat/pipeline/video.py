@@ -253,7 +253,13 @@ class VideoPipeline:
 
         step = jax.jit(body)
         chunk_step = None
-        if cfg.chunk_size > 1 and not bg_dynamic:
+        if cfg.chunk_size > 1 and not bg_dynamic and plan.chunk_body:
+            # Chunk-batched dispatch: the stateless work (ingest, planar
+            # encoder, GF stats, fused tail) runs batched over the K
+            # frames; only the recurrent decoder scans (stepfactory
+            # chunk_body — bit-exact vs the scan below).
+            chunk_step = jax.jit(plan.chunk_body)
+        elif cfg.chunk_size > 1 and not bg_dynamic:
             @jax.jit
             def chunk_step(variables, frames_u8, state):
                 # frames_u8: (K, 1, H, W, 3)
