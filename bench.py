@@ -303,6 +303,56 @@ def _bench_smoke(jax) -> dict:
         return max(np.abs(np.asarray(ga) - np.asarray(wa)).max(),
                    np.abs(np.asarray(gh) - np.asarray(wh)).max()), 1e-4
 
+    def k_export_roundtrip():
+        # AOT deployment (vidmat.deploy): export the REAL serving body —
+        # on TPU this embeds the Mosaic kernel payloads in the StableHLO
+        # artifact — then reload it with the bundle loader and compare one
+        # step against the live jitted body. A jax.export regression (e.g.
+        # tpu_custom_call no longer round-tripping) fails here with a name
+        # instead of breaking deployments silently.
+        import shutil
+        import tempfile
+
+        from vidmat.config import ModelConfig, PipelineConfig, RefineConfig
+        from vidmat.deploy import ServingBundle, export_bundle
+        from vidmat.models.matting_net import MattingNetwork
+        from vidmat.models.weights import init_params
+        from vidmat.pipeline.stepfactory import build_serving_body
+
+        h, w = 48, 64
+        cfg = ModelConfig(conv_impl="planar", space_to_depth=2)
+        pipe = PipelineConfig(downsample_ratio=0.5, dtype="bfloat16",
+                              refine=RefineConfig(mode="guided"))
+        variables = init_params(cfg, seed=7)
+        tmp = tempfile.mkdtemp()
+        try:
+            export_bundle(tmp + "/b", h, w, model_cfg=cfg, pipe_cfg=pipe,
+                          variables=variables, bg_color=(0.0, 0.0, 1.0))
+            bundle = ServingBundle(tmp + "/b")
+            net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+            body, plan = build_serving_body(
+                net, cfg, pipe.refine, h + (-h) % 16, w + (-w) % 16, 0.5,
+                cdtype=jnp.bfloat16,
+                bg=jnp.asarray((0.0, 0.0, 1.0), jnp.float32))
+            step = jax.jit(body)
+            state = plan.make_state(1)
+            vars_dev = jax.tree_util.tree_map(jnp.asarray, variables)
+            worst = 0
+            for seed in (0, 1):
+                frame = np.random.RandomState(seed).randint(
+                    0, 255, (h, w, 3), np.uint8)
+                got = bundle.step(frame)
+                live, state = step(vars_dev, jnp.asarray(frame[None]),
+                                   state)
+                want = bundle._unpack(live)
+                for key in got:
+                    worst = max(worst, np.abs(
+                        got[key].astype(int)
+                        - want[key].astype(int)).max())
+            return worst, 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     t0 = time.perf_counter()
     for name, fn in [("ingest", k_ingest), ("gf", k_gf),
                      ("composite", k_composite), ("refine", k_refine),
@@ -310,7 +360,8 @@ def _bench_smoke(jax) -> dict:
                      ("planar_conv", k_planar_conv),
                      ("planar_gru", k_planar_gru),
                      ("planar_conv2", k_planar_conv2),
-                     ("planar_conv_gru", k_planar_conv_gru)]:
+                     ("planar_conv_gru", k_planar_conv_gru),
+                     ("export_roundtrip", k_export_roundtrip)]:
         check(name, fn)
     n_total = len(report)
     n_ok = n_total - len(failed)

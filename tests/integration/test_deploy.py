@@ -1,0 +1,149 @@
+"""AOT serving bundles (vidmat.deploy): export -> load -> serve parity.
+
+The exported artifact must reproduce the live serving body bit-exactly —
+same weights, same state carry, same outputs — with nothing but the bundle
+directory and the loader (no model definition, no tracing at startup).
+CPU tests export the XLA body (the Pallas/Mosaic payload round-trip is
+covered by the TPU-side smoke in bench.py's export validation and was
+verified compiled on the real chip); everything else — flattening
+contract, state carry, chunk step, reset, platform pinning — is
+platform-independent and tested here.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidmat.config import ModelConfig, PipelineConfig, RefineConfig
+from vidmat.deploy import ServingBundle, export_bundle
+from vidmat.models.weights import init_params
+
+
+H, W = 48, 64  # export pads to the /16 bucket internally
+
+
+def _frames(n, h=H, w=W, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 255, (h, w, 3), np.uint8) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def small_bundle(tmp_path_factory):
+    cfg = ModelConfig()
+    pipe = PipelineConfig(downsample_ratio=0.5, dtype="bfloat16",
+                          refine=RefineConfig(mode="guided"))
+    variables = init_params(cfg, seed=3)
+    path = str(tmp_path_factory.mktemp("bundle") / "b")
+    export_bundle(path, H, W, model_cfg=cfg, pipe_cfg=pipe,
+                  variables=variables, bg_color=(0.0, 0.0, 1.0))
+    return path, cfg, pipe, variables
+
+
+def _live_body(cfg, pipe, h, w):
+    from vidmat.models.matting_net import MattingNetwork
+    from vidmat.pipeline.stepfactory import build_serving_body
+
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    ph, pw = h + ((-h) % 16), w + ((-w) % 16)
+    body, plan = build_serving_body(
+        net, cfg, pipe.refine, ph, pw, pipe.downsample_ratio,
+        cdtype=jnp.bfloat16, bg=jnp.asarray((0.0, 0.0, 1.0), jnp.float32),
+        use_pallas=pipe.use_pallas)
+    return jax.jit(body), plan, (ph, pw)
+
+
+def test_bundle_matches_live_serving(small_bundle):
+    path, cfg, pipe, variables = small_bundle
+    bundle = ServingBundle(path)
+    step, plan, (ph, pw) = _live_body(cfg, pipe, H, W)
+    state = plan.make_state(1)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    for frame in _frames(4):
+        out = bundle.step(frame)
+        padded = np.pad(frame, ((0, ph - H), (0, pw - W), (0, 0)),
+                        mode="edge")[None]
+        live, state = step(variables, jnp.asarray(padded), state)
+        alpha_u8, fgr_u8, rgba = live
+        np.testing.assert_array_equal(out["alpha"],
+                                      np.asarray(alpha_u8)[0, :H, :W, 0])
+        np.testing.assert_array_equal(out["fgr"],
+                                      np.asarray(fgr_u8)[0, :H, :W])
+        np.testing.assert_array_equal(out["comp"],
+                                      np.asarray(rgba)[0, :H, :W])
+
+
+def test_bundle_reset_restores_initial_state(small_bundle):
+    path = small_bundle[0]
+    bundle = ServingBundle(path)
+    frame = _frames(1)[0]
+    first = bundle.step(frame)["alpha"].copy()
+    for f in _frames(3, seed=1):
+        bundle.step(f)
+    drifted = bundle.step(frame)["alpha"]
+    assert not np.array_equal(first, drifted)  # state actually carries
+    bundle.reset()
+    again = bundle.step(frame)["alpha"]
+    np.testing.assert_array_equal(first, again)
+
+
+def test_bundle_platform_pinning(small_bundle, tmp_path):
+    import shutil
+
+    path = small_bundle[0]
+    tampered = str(tmp_path / "tampered")
+    shutil.copytree(path, tampered)
+    mpath = os.path.join(tampered, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["platforms"] = ["tpu"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(RuntimeError, match="platform"):
+        ServingBundle(tampered)
+
+
+def test_bundle_rejects_wrong_shape(small_bundle):
+    bundle = ServingBundle(small_bundle[0])
+    with pytest.raises(ValueError, match="serves"):
+        bundle.step(np.zeros((H + 16, W, 3), np.uint8))
+
+
+def test_chunked_bundle_convert_matches_per_frame(tmp_path):
+    """A chunk_size=2 bundle ships both steps; convert() through the
+    chunked step must write byte-identical frames to per-frame stepping."""
+    cfg = ModelConfig()
+    pipe = PipelineConfig(downsample_ratio=0.5, dtype="bfloat16",
+                          chunk_size=2, refine=RefineConfig(mode="guided"))
+    variables = init_params(cfg, seed=5)
+    path = str(tmp_path / "bundle")
+    export_bundle(path, H, W, model_cfg=cfg, pipe_cfg=pipe,
+                  variables=variables, bg_color=(0.0, 0.0, 1.0))
+    frames = _frames(5, seed=2)  # odd count: exercises the partial drain
+
+    chunked = ServingBundle(path)
+    assert chunked._chunk is not None and chunked.chunk == 2
+    outdir = tmp_path / "seq"
+    outdir.mkdir()
+    metrics = chunked.convert(iter(frames),
+                              output_alpha=str(outdir / "a_%04d.png"))
+    assert metrics["frames"] == 5
+
+    reference = ServingBundle(path)
+    reference._chunk = None  # force the per-frame exported step
+    import imageio.v2 as iio
+
+    for i, frame in enumerate(frames):
+        expect = reference.step(frame)["alpha"]
+        written = iio.imread(str(outdir / f"a_{i:04d}.png"))
+        np.testing.assert_array_equal(written, expect)
+
+
+def test_export_refuses_random_weights(tmp_path):
+    with pytest.raises(ValueError, match="checkpoint"):
+        export_bundle(str(tmp_path / "b"), H, W,
+                      model_cfg=ModelConfig(enc_channels=(8, 8, 8, 8),
+                                            dec_channels=(8, 8, 8, 8)))

@@ -79,6 +79,44 @@ def _add_multistream(sub):
                         "output latency)")
 
 
+def _add_export(sub):
+    p = sub.add_parser(
+        "export",
+        help="export an AOT serving bundle (jax.export; platform-pinned)")
+    p.add_argument("out_dir")
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--preset", choices=["clip_480p", "video_1080p",
+                                        "video_4k"], default=None)
+    p.add_argument("--checkpoint", help="orbax checkpoint dir (default: "
+                                        "the shipped weights for the config)")
+    p.add_argument("--downsample-ratio", type=float, default=None)
+    p.add_argument("--bg-color", default="0,1,0",
+                   help="baked composite background R,G,B in [0,1]")
+    p.add_argument("--bg-image", default=None,
+                   help="baked background replacement image path")
+    p.add_argument("--alpha-only", action="store_true",
+                   help="bundle emits only the uint8 alpha plane "
+                        "(4x smaller per-frame readback)")
+    p.add_argument("--raw-foreground", action="store_true",
+                   help="bundle emits raw (uncomposited) foreground")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="also export a K-frame chunk-batched step "
+                        "(offline-conversion throughput mode)")
+
+
+def _add_bundle_video(sub):
+    p = sub.add_parser(
+        "bundle-video",
+        help="convert a video using an exported AOT bundle (no tracing)")
+    p.add_argument("bundle", help="bundle directory from `vidmat export`")
+    p.add_argument("input")
+    p.add_argument("--output-alpha")
+    p.add_argument("--output-foreground")
+    p.add_argument("--output-composition")
+    p.add_argument("--progress", action="store_true")
+
+
 def _add_train(sub):
     p = sub.add_parser("train", help="train on synthetic clips (demo)")
     p.add_argument("--steps", type=int, default=100)
@@ -96,6 +134,8 @@ def main(argv=None) -> int:
     _add_image(sub)
     _add_bench(sub)
     _add_multistream(sub)
+    _add_export(sub)
+    _add_bundle_video(sub)
     _add_train(sub)
     args = parser.parse_args(argv)
 
@@ -218,6 +258,45 @@ def main(argv=None) -> int:
         for wr in writers:
             wr.close()
         print(json.dumps(summary))
+        return 0
+
+    if args.cmd == "export":
+        import dataclasses
+
+        from vidmat.config import PRESETS, PipelineConfig
+        from vidmat.deploy import export_bundle
+        from vidmat.models.weights import load_checkpoint
+
+        model_cfg = pipe_cfg = None
+        if args.preset:
+            model_cfg, pipe_cfg = PRESETS[args.preset]()
+        if args.chunk is not None:
+            pipe_cfg = dataclasses.replace(pipe_cfg or PipelineConfig(),
+                                           chunk_size=args.chunk)
+        variables = (load_checkpoint(args.checkpoint)
+                     if args.checkpoint else None)
+        bg = tuple(float(x) for x in args.bg_color.split(","))
+        path = export_bundle(
+            args.out_dir, args.height, args.width, model_cfg=model_cfg,
+            pipe_cfg=pipe_cfg, variables=variables,
+            downsample_ratio=args.downsample_ratio,
+            bg_color=None if args.raw_foreground else bg,
+            bg_image=args.bg_image, alpha_only=args.alpha_only,
+            need_fgr=args.raw_foreground)
+        with open(f"{path}/manifest.json") as f:
+            print(f.read())
+        return 0
+
+    if args.cmd == "bundle-video":
+        from vidmat.deploy import ServingBundle
+
+        bundle = ServingBundle(args.bundle)
+        metrics = bundle.convert(
+            args.input, output_alpha=args.output_alpha,
+            output_foreground=args.output_foreground,
+            output_composition=args.output_composition,
+            progress=args.progress)
+        print(json.dumps(metrics))
         return 0
 
     if args.cmd == "train":

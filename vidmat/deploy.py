@@ -1,0 +1,397 @@
+"""AOT serving bundles: export the compiled serving step with ``jax.export``.
+
+Production serving hosts should not need the Flax model definition, the
+Pallas kernel sources, or a trace+compile step at startup. ``export_bundle``
+serializes the jitted serving body once — StableHLO plus the embedded Mosaic
+kernel payloads (verified: Pallas ``tpu_custom_call``s round-trip through
+``jax.export`` on TPU) — and ``ServingBundle`` replays it with nothing but
+jax, numpy, and this loader module.
+
+A bundle is a directory:
+
+    manifest.json   static facts: shapes, dtypes, output contract, platforms
+    step.jaxexp     serialized per-frame serving step (jax.export)
+    chunk.jaxexp    optional chunk-batched step (pipe_cfg.chunk_size > 1)
+    params.npz      weights, flattened leaves (bf16 stored as uint16 bits)
+    state0.npz      initial recurrent carry, flattened leaves
+
+Design notes:
+  - The exported callable takes FLATTENED pytrees (list of param leaves,
+    frame batch, list of state leaves) so the loader never needs a pytree
+    treedef — npz key order is the contract. The new-state tree structure is
+    asserted identical to the initial state at export time, so re-flattening
+    is stable across calls.
+  - Exported artifacts are platform-pinned (``jax.export`` records the
+    lowering platforms); the loader checks the running backend against the
+    manifest and fails loudly instead of letting XLA error mid-call.
+  - The reference's deployment story is [UNKNOWN] (empty tree, SURVEY.md
+    §0); this subsystem is the TPU-native equivalent of shipping a frozen
+    torchscript/ONNX artifact next to a research repo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidmat.config import ModelConfig, PipelineConfig
+
+_FORMAT_VERSION = 1
+
+
+# ---- leaf (de)serialization: npz with explicit dtype sidecar ----
+# np.savez writes bfloat16 (an ml_dtypes extension dtype) as raw 'V2' void
+# records and np.load cannot recover the dtype; store the bit pattern as
+# uint16 and record the logical dtype in the manifest instead.
+
+def _save_leaves(path: str, leaves) -> list:
+    arrays, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dtypes.append(str(a.dtype))
+        if a.dtype.name == "bfloat16":
+            a = a.view(np.uint16)
+        arrays[f"leaf_{i:04d}"] = a
+    np.savez(path, **arrays)
+    return dtypes
+
+
+def _load_leaves(path: str, dtypes: list) -> list:
+    import ml_dtypes
+
+    with np.load(path) as z:
+        leaves = []
+        for i, dt in enumerate(dtypes):
+            a = z[f"leaf_{i:04d}"]
+            if dt == "bfloat16":
+                a = a.view(ml_dtypes.bfloat16)
+            leaves.append(a)
+    return leaves
+
+
+def export_bundle(out_dir: str, height: int, width: int, *,
+                  model_cfg: Optional[ModelConfig] = None,
+                  pipe_cfg: Optional[PipelineConfig] = None,
+                  variables=None,
+                  downsample_ratio: Optional[float] = None,
+                  bg_color: Optional[Tuple[float, float, float]] = (0.0, 1.0,
+                                                                    0.0),
+                  bg_image: Optional[Union[str, np.ndarray]] = None,
+                  alpha_only: bool = False,
+                  need_fgr: bool = False) -> str:
+    """Export an AOT serving bundle for a fixed (height, width) stream.
+
+    height/width: the stream resolution (any size — padded internally to
+        the /16 bucket; the loader pads inputs and crops outputs).
+    model_cfg/pipe_cfg: same axes as convert_video; use the PRESETS for
+        the ladder rungs. pipe_cfg.chunk_size > 1 additionally exports the
+        chunk-batched step for offline throughput conversion.
+    variables: trained weights; None auto-loads the shipped checkpoint
+        matching model_cfg (or raises — random-weight export is refused,
+        same contract as the live API).
+    bg_color/bg_image: baked compositing background. bg_image takes
+        precedence. Pass both as None for the raw-foreground contract
+        (forces the u8-tuple output). Per-frame video backgrounds are a
+        traced-argument feature of the live pipeline and are not
+        exportable as a fixed-signature artifact.
+    alpha_only: the bundle emits only the (H, W) uint8 alpha plane
+        (packed Pallas path; 4x smaller D2H). Ignored off the packed path.
+    need_fgr: the bundle emits raw foreground (u8 tuple path).
+
+    Returns out_dir. The artifact is pinned to the exporting platform
+    (e.g. 'tpu'); the loader enforces this.
+    """
+    from jax import export as jax_export
+
+    from vidmat.models.matting_net import MattingNetwork
+    from vidmat.models.weights import default_variables
+    from vidmat.pipeline.stepfactory import build_serving_body
+    from vidmat.pipeline.video import _prepare_bg_image, auto_downsample_ratio
+
+    model_cfg = model_cfg or ModelConfig()
+    pipe_cfg = pipe_cfg or PipelineConfig()
+    if variables is None:
+        variables = default_variables(model_cfg)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    ratio = downsample_ratio
+    if ratio is None:
+        ratio = pipe_cfg.downsample_ratio
+    if ratio is None:
+        ratio = auto_downsample_ratio(height, width)
+    ph, pw = height + ((-height) % 16), width + ((-width) % 16)
+
+    cdtype = jnp.bfloat16 if pipe_cfg.dtype == "bfloat16" else jnp.float32
+    net = MattingNetwork(model_cfg,
+                         dtype=cdtype if pipe_cfg.dtype == "bfloat16"
+                         else None)
+    if bg_image is not None:
+        bg = jnp.asarray(_prepare_bg_image(bg_image, ph, pw))
+        bg_kind = "image"
+    elif bg_color is not None:
+        bg = jnp.asarray(bg_color, jnp.float32)
+        bg_kind = "color"
+    else:
+        bg = None
+        bg_kind = "none"
+        need_fgr = True  # no background: packed words would premultiply
+
+    body, plan = build_serving_body(
+        net, model_cfg, pipe_cfg.refine, ph, pw, ratio,
+        cdtype=cdtype, bg=bg, use_pallas=pipe_cfg.use_pallas,
+        need_fgr=need_fgr, tile_size=pipe_cfg.tile_size,
+        tile_overlap=pipe_cfg.tile_overlap, alpha_only=alpha_only,
+        static_skip_eps=pipe_cfg.static_skip_eps)
+
+    state0 = plan.make_state(1)
+    p_leaves, p_tree = jax.tree_util.tree_flatten(variables)
+    s_leaves, s_tree = jax.tree_util.tree_flatten(state0)
+
+    def flat_step(param_leaves, frame_u8, state_leaves):
+        vars_ = jax.tree_util.tree_unflatten(p_tree, param_leaves)
+        st = jax.tree_util.tree_unflatten(s_tree, state_leaves)
+        outs, new_state = body(vars_, frame_u8, st)
+        ns_leaves, ns_tree = jax.tree_util.tree_flatten(new_state)
+        if ns_tree != s_tree:
+            raise AssertionError(
+                f"serving body changed the state tree structure: "
+                f"{ns_tree} != {s_tree}")
+        return outs, ns_leaves
+
+    def spec(leaf):
+        return jax.ShapeDtypeStruct(jnp.shape(leaf), jnp.asarray(leaf).dtype)
+
+    p_specs = [spec(l) for l in p_leaves]
+    s_specs = [spec(l) for l in s_leaves]
+    f_spec = jax.ShapeDtypeStruct((1, ph, pw, 3), jnp.uint8)
+    exp = jax_export.export(jax.jit(flat_step))(p_specs, f_spec, s_specs)
+
+    chunk_blob = None
+    k = pipe_cfg.chunk_size
+    if k > 1:
+        if plan.chunk_body is not None:
+            def chunk_impl(vars_, frames, st):
+                return plan.chunk_body(vars_, frames, st)
+        else:
+            def chunk_impl(vars_, frames, st):
+                def scan_body(s, f):
+                    outs, ns = body(vars_, f, s)
+                    return ns, outs
+                new_state, outs = jax.lax.scan(scan_body, st, frames)
+                return outs, new_state
+
+        def flat_chunk(param_leaves, frames_u8, state_leaves):
+            vars_ = jax.tree_util.tree_unflatten(p_tree, param_leaves)
+            st = jax.tree_util.tree_unflatten(s_tree, state_leaves)
+            outs, new_state = chunk_impl(vars_, frames_u8, st)
+            return outs, jax.tree_util.tree_flatten(new_state)[0]
+
+        fk_spec = jax.ShapeDtypeStruct((k, 1, ph, pw, 3), jnp.uint8)
+        chunk_blob = jax_export.export(jax.jit(flat_chunk))(
+            p_specs, fk_spec, s_specs).serialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "step.jaxexp"), "wb") as f:
+        f.write(exp.serialize())
+    if chunk_blob is not None:
+        with open(os.path.join(out_dir, "chunk.jaxexp"), "wb") as f:
+            f.write(chunk_blob)
+    p_dtypes = _save_leaves(os.path.join(out_dir, "params.npz"), p_leaves)
+    s_dtypes = _save_leaves(os.path.join(out_dir, "state0.npz"), s_leaves)
+
+    if plan.alpha_only:
+        output = "alpha_only"
+    elif plan.packed:
+        output = "packed"
+    else:
+        output = "tuple"
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "height": height, "width": width,
+        "padded_height": ph, "padded_width": pw,
+        "downsample_ratio": ratio,
+        "net_h": plan.net_h, "net_w": plan.net_w, "pool": plan.pool,
+        "output": output,
+        "bg": bg_kind,
+        "chunk": k if chunk_blob is not None else 1,
+        "static_skip": plan.static_skip,
+        "platforms": list(exp.platforms),
+        "jax_version": jax.__version__,
+        "model_cfg": dataclasses.asdict(model_cfg),
+        "dtype": pipe_cfg.dtype,
+        "params_dtypes": p_dtypes,
+        "state_dtypes": s_dtypes,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+class ServingBundle:
+    """Load and drive an AOT-exported serving bundle.
+
+    >>> bundle = ServingBundle("bundle_1080p/")
+    >>> out = bundle.step(frame)          # {"alpha": (H, W) u8, ...}
+    >>> bundle.reset()                    # new stream / scene cut
+
+    step() output keys by the bundle's contract (manifest "output"):
+      alpha_only -> {"alpha"}; packed -> {"alpha", "comp"};
+      tuple      -> {"alpha", "fgr", "comp"}.
+    All values are uint8, cropped to the exported (height, width).
+    """
+
+    def __init__(self, path: str):
+        from jax import export as jax_export
+
+        self.path = path
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        m = self.manifest
+        if m["format_version"] > _FORMAT_VERSION:
+            raise ValueError(
+                f"bundle format {m['format_version']} is newer than this "
+                f"loader ({_FORMAT_VERSION})")
+        backend = jax.default_backend()
+        if backend not in m["platforms"]:
+            raise RuntimeError(
+                f"bundle was exported for platforms {m['platforms']} but "
+                f"the running backend is '{backend}' — jax.export artifacts "
+                "are platform-pinned; re-export on this platform")
+        with open(os.path.join(path, "step.jaxexp"), "rb") as f:
+            self._step = jax_export.deserialize(bytearray(f.read())).call
+        self._chunk = None
+        chunk_path = os.path.join(path, "chunk.jaxexp")
+        if os.path.exists(chunk_path):
+            with open(chunk_path, "rb") as f:
+                self._chunk = jax_export.deserialize(
+                    bytearray(f.read())).call
+        # Commit leaves to device once (numpy leaves re-transfer per call).
+        self._params = [jnp.asarray(l) for l in _load_leaves(
+            os.path.join(path, "params.npz"), m["params_dtypes"])]
+        self._state0 = [jnp.asarray(l) for l in _load_leaves(
+            os.path.join(path, "state0.npz"), m["state_dtypes"])]
+        self._state = list(self._state0)
+        self.h, self.w = m["height"], m["width"]
+        self._ph, self._pw = m["padded_height"], m["padded_width"]
+        self.chunk = m["chunk"]
+
+    def reset(self) -> None:
+        """Reset the temporal carry (scene cut / new stream)."""
+        self._state = list(self._state0)
+
+    def _pad(self, frame: np.ndarray) -> np.ndarray:
+        if frame.shape[:2] != (self.h, self.w) or frame.shape[2] != 3:
+            raise ValueError(
+                f"bundle serves {(self.h, self.w)} RGB frames; got "
+                f"{frame.shape}")
+        if (self._ph, self._pw) != (self.h, self.w):
+            frame = np.pad(frame, ((0, self._ph - self.h),
+                                   (0, self._pw - self.w), (0, 0)),
+                           mode="edge")
+        return frame[None]
+
+    def _unpack(self, outs, batch_idx=0) -> dict:
+        m = self.manifest
+        if m["output"] == "alpha_only":
+            return {"alpha": np.asarray(outs)[batch_idx,
+                                              :self.h, :self.w]}
+        if m["output"] == "packed":
+            from vidmat.ops.pallas.composite_kernel import unpack_rgba_host
+
+            rgba = unpack_rgba_host(np.asarray(outs))[batch_idx,
+                                                      :self.h, :self.w]
+            return {"alpha": rgba[..., 3], "comp": rgba}
+        alpha_u8, fgr_u8, rgba = outs
+        return {"alpha": np.asarray(alpha_u8)[batch_idx, :self.h, :self.w, 0],
+                "fgr": np.asarray(fgr_u8)[batch_idx, :self.h, :self.w],
+                "comp": np.asarray(rgba)[batch_idx, :self.h, :self.w]}
+
+    def step(self, frame: np.ndarray) -> dict:
+        """Matte one (H, W, 3) uint8 RGB frame; carries temporal state."""
+        outs, self._state = self._step(self._params,
+                                       jnp.asarray(self._pad(frame)),
+                                       self._state)
+        return self._unpack(outs)
+
+    def convert(self, input_source, output_alpha: Optional[str] = None,
+                output_composition: Optional[str] = None,
+                output_foreground: Optional[str] = None,
+                progress: bool = False) -> dict:
+        """Offline conversion driven entirely from the bundle (uses the
+        chunk-batched exported step when the bundle ships one)."""
+        import time
+
+        from vidmat.io.reader import FrameSource
+        from vidmat.io.writer import VideoWriter
+        from vidmat.utils.metrics import RunMetrics
+
+        m = self.manifest
+        want = {"alpha": output_alpha, "comp": output_composition,
+                "fgr": output_foreground}
+        for key, p in want.items():
+            if p and key != "alpha" and m["output"] == "alpha_only":
+                raise ValueError("alpha-only bundle cannot write " + key)
+            if p and key == "fgr" and m["output"] != "tuple":
+                raise ValueError(
+                    "this bundle composites on device (packed output); "
+                    "export with need_fgr=True for raw foreground")
+        source = FrameSource(input_source)
+        writers = {}
+        metrics = RunMetrics()
+        n = 0
+        buf = []
+        t_prev = time.perf_counter()
+
+        def open_writers():
+            for key, p in want.items():
+                if p:
+                    writers[key] = VideoWriter(p, source.fps)
+
+        def emit(out):
+            for key, wtr in writers.items():
+                wtr.write(out[key])
+
+        for frame in source:
+            if not writers and any(want.values()):
+                open_writers()
+            if self._chunk is not None:
+                buf.append(self._pad(frame))
+                if len(buf) < self.chunk:
+                    continue
+                frames = jnp.asarray(np.stack(buf))
+                buf = []
+                outs, self._state = self._chunk(self._params, frames,
+                                                self._state)
+                for i in range(self.chunk):
+                    part = (jax.tree_util.tree_map(lambda x: x[i], outs)
+                            if isinstance(outs, tuple) else outs[i])
+                    emit(self._unpack(part))
+                n += self.chunk
+                t_now = time.perf_counter()
+                metrics.record_chunk(t_now - t_prev, self.chunk)
+                t_prev = t_now
+            else:
+                emit(self.step(frame))
+                n += 1
+                t_now = time.perf_counter()
+                metrics.record_frame(t_now - t_prev)
+                t_prev = t_now
+            if progress and n % 50 == 0:
+                print(f"frame {n}", flush=True)
+        # drain a partial chunk through the per-frame step
+        for padded in buf:
+            outs, self._state = self._step(self._params,
+                                           jnp.asarray(padded), self._state)
+            emit(self._unpack(outs))
+            n += 1
+        for wtr in writers.values():
+            wtr.close()
+        out = metrics.summary()
+        out["frames"] = n
+        return out
