@@ -175,6 +175,24 @@ def _bench_smoke(jax) -> dict:
                    - want.view(np.uint8).astype(int))
         return d.max(), 1
 
+    def k_refine_coarse_bg():
+        # bg_mode='coarse' (portrait blur): the coarse background rides
+        # the kernel's banded upsample — compiled vs interpret oracle.
+        from vidmat.ops.pallas.refine_kernel import fused_refine_composite
+
+        f = jnp.asarray(rng.randint(0, 255, (1, 64, 256, 3), np.uint8))
+        a = jnp.asarray(rng.uniform(-1, 1, (1, 16, 64, 4))
+                        .astype(np.float32))
+        b = jnp.asarray(rng.uniform(-0.5, 1, (1, 16, 64, 4))
+                        .astype(np.float32))
+        bgc = jnp.asarray(rng.rand(1, 16, 64, 3).astype(np.float32))
+        got = np.asarray(fused_refine_composite(f, a, b, bgc, pool=4))
+        want = np.asarray(fused_refine_composite(f, a, b, bgc, pool=4,
+                                                 interpret=True))
+        d = np.abs(got.view(np.uint8).astype(int)
+                   - want.view(np.uint8).astype(int))
+        return d.max(), 1
+
     def k_refine_float():
         from vidmat.ops.pallas.refine_kernel import fused_refine_float
 
@@ -356,6 +374,7 @@ def _bench_smoke(jax) -> dict:
     t0 = time.perf_counter()
     for name, fn in [("ingest", k_ingest), ("gf", k_gf),
                      ("composite", k_composite), ("refine", k_refine),
+                     ("refine_coarse_bg", k_refine_coarse_bg),
                      ("refine_float", k_refine_float),
                      ("planar_conv", k_planar_conv),
                      ("planar_gru", k_planar_gru),

@@ -406,3 +406,63 @@ def test_cli_static_skip_flag(tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 4
+
+
+def test_convert_video_bg_blur_e2e(tmp_path):
+    """Portrait-mode background blur end to end: the composition's
+    background region must be a smoothed version of the source (local
+    mean preserved, high-frequency texture suppressed), while the
+    foreground stays the predicted fgr. Exercises the XLA bg_blur path
+    on CPU (the in-kernel coarse-bg path is pinned in
+    tests/unit/test_bg_blur.py)."""
+    import cv2
+
+    from vidmat.models.weights import init_params
+
+    h, w = 96, 128
+    # Checkered high-frequency background, flat bright foreground disk.
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = ((xx // 2 + yy // 2) % 2 * 255).astype(np.uint8)
+    frames = [np.stack([checker] * 3, axis=-1) for _ in range(3)]
+
+    out = str(tmp_path / "comp.mp4")
+    vidmat.convert_video(frames, output_composition=out,
+                         downsample_ratio=0.25, bg_blur=10,
+                         variables=init_params(ModelConfig()))
+    cap = cv2.VideoCapture(out)
+    ok, f = cap.read()
+    cap.release()
+    assert ok
+    comp = cv2.cvtColor(f, cv2.COLOR_BGR2RGB).astype(np.float32)
+    src = frames[0].astype(np.float32)
+    # Global mean preserved, pointwise deviation from the 0/255 checker
+    # collapsed toward the 127.5 midpoint where the bg shows through.
+    assert abs(comp.mean() - src.mean()) < 25
+    mid_frac = (np.abs(comp[..., 0] - 127.5) < 60).mean()
+    assert mid_frac > 0.3, f"background not blurred (mid_frac={mid_frac})"
+
+
+def test_cli_video_bg_blur_flag(tmp_path):
+    """CLI --bg-blur plumbs through and produces a valid composition."""
+    import cv2
+
+    from vidmat.cli import main as cli_main
+    from vidmat.io.fixtures import synthetic_frames_only
+    from vidmat.io.writer import VideoWriter
+
+    h, w = 48, 64
+    inp = str(tmp_path / "in.mp4")
+    vw = VideoWriter(inp, 10)
+    for f in synthetic_frames_only(h, w, 3):
+        vw.write(f)
+    vw.close()
+    out = str(tmp_path / "c.mp4")
+    rc = cli_main(["video", inp, "--output-composition", out,
+                   "--bg-blur", "8", "--downsample-ratio", "1.0"])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3

@@ -48,6 +48,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   bg_color: Tuple[float, float, float] = (0.0, 1.0, 0.0),
                   bg_image: Optional[Union[str, np.ndarray]] = None,
                   bg_video: Optional[Union[str, object]] = None,
+                  bg_blur: Optional[int] = None,
                   downsample_ratio: Optional[float] = None,
                   variables=None,
                   model_cfg: Optional[ModelConfig] = None,
@@ -67,6 +68,11 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         iterable consumed in lockstep with the input (looped if shorter);
         takes precedence over bg_image. No recompiles on background
         change (traced step argument).
+    bg_blur: portrait-mode background blur — composite the foreground
+        over a blurred version of the source frame (radius in full-res
+        pixels, e.g. 16); synthesized on device from the coarse frame,
+        upsampled inside the fused refine kernel. Takes precedence over
+        every other bg option.
     downsample_ratio: coarse-pass scale; None = auto from resolution
         (BASELINE.json:10).
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
@@ -81,6 +87,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         bg_color=bg_color if output_composition else None,
         bg_image=bg_image if output_composition else None,
         bg_video=bg_video if output_composition else None,
+        bg_blur=bg_blur if output_composition else None,
         refiner_variables=refiner_variables,
     )
     return pipeline.run(input_source, output_alpha=output_alpha,

@@ -31,6 +31,10 @@ def _add_video(sub):
                    help="per-frame background replacement video path, "
                         "looped if shorter than the input (overrides "
                         "--bg-image)")
+    p.add_argument("--bg-blur", type=int, default=None, metavar="RADIUS",
+                   help="portrait mode: composite over a blur of the "
+                        "source frame (radius in full-res pixels, e.g. "
+                        "16; overrides every other --bg-* option)")
     p.add_argument("--downsample-ratio", type=float, default=None)
     p.add_argument("--static-skip-eps", type=float, default=None,
                    metavar="EPS",
@@ -165,7 +169,7 @@ def main(argv=None) -> int:
                 output_foreground=args.output_foreground,
                 output_composition=args.output_composition,
                 bg_color=bg, bg_image=args.bg_image,
-                bg_video=args.bg_video,
+                bg_video=args.bg_video, bg_blur=args.bg_blur,
                 downsample_ratio=args.downsample_ratio,
                 variables=variables, model_cfg=model_cfg,
                 pipe_cfg=pipe_cfg, progress=args.progress)

@@ -55,6 +55,14 @@ def _box_sum(x: jax.Array, r: int) -> jax.Array:
         padding=((0, 0), (0, 0), (r, r), (0, 0)))
 
 
+def box_blur(x: jax.Array, radius: int) -> jax.Array:
+    """Edge-truncated (2r+1)² mean blur, NHWC — the background synthesizer
+    for the portrait-blur compositing path (stepfactory bg_blur): applied
+    at the COARSE grid, its bilinear upsample approximates a large-radius
+    full-res bokeh at coarse-grid cost."""
+    return _box_filter(x, radius)
+
+
 def guided_filter(guide: jax.Array, src: jax.Array, radius: int = 4,
                   eps: float = 1e-4) -> jax.Array:
     """Filter ``src`` guided by ``guide`` (single-channel guide).

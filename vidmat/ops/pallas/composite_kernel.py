@@ -98,13 +98,20 @@ def composite_rgba_packed(fgr: jax.Array, alpha: jax.Array,
     """Fused composite producing packed RGBA words.
 
     fgr: (N, H, W, 3) float [0,1]; alpha: (N, H, W, 1)
-    bg:  (3,) color, (H, W, 3) replacement image, or None (premultiplied
+    bg:  (3,) color, (H, W, 3) replacement image shared across the batch,
+         (N, H, W, 3) per-frame replacement images (e.g. the blurred
+         source frames of the portrait-blur path), or None (premultiplied
          output)
     Returns (N, H, W) uint32; view as uint8 RGBA via
     ``np.asarray(out).view(np.uint8).reshape(N, H, W, 4)``.
     """
     fgr_chw = jnp.transpose(fgr.astype(jnp.float32), (0, 3, 1, 2))
     alpha_hw = alpha.astype(jnp.float32)[..., 0]
+    if bg is not None and jnp.ndim(bg) == 4:
+        bg_p = jnp.transpose(jnp.asarray(bg, jnp.float32), (0, 3, 1, 2))
+        fn = jax.vmap(lambda f, a, b: _composite_call(
+            f, a, b, bg_mode="image", interpret=interpret))
+        return fn(fgr_chw, alpha_hw, bg_p)
     if bg is not None and jnp.ndim(bg) == 3:
         bg_p = jnp.transpose(jnp.asarray(bg, jnp.float32), (2, 0, 1))
         fn = jax.vmap(lambda f, a: _composite_call(

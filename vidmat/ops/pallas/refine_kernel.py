@@ -154,6 +154,13 @@ def _refine_kernel(frame_ref, a_ref, b_ref, bg_ref, out_ref, *, pool: int,
             # per-pixel background replacement: bg_ref is the (3, th, W)
             # planar bg tile on the same output row grid
             rgb = fgr * alpha + bg_ref[c] * (1.0 - alpha)
+        elif bg_mode == "coarse":
+            # bg_ref is a (3, hl, wl) COARSE background (e.g. the blurred
+            # source frame for portrait-mode bokeh) riding the same
+            # banded bilinear upsample as the coefficient grids — the
+            # full-res background exists only in-register, never in HBM.
+            bg_c = jnp.clip(upsample(bg_ref, c), 0.0, 1.0)
+            rgb = fgr * alpha + bg_c * (1.0 - alpha)
         else:
             bg_c = bg_ref[0, c]
             rgb = jnp.where(use_bg, fgr * alpha + bg_c * (1.0 - alpha),
@@ -231,7 +238,8 @@ def fused_refine_float(frame_u8: jax.Array, a_lr: jax.Array,
 def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
                       budget: int = 13 * 2**20,
                       has_bg_image: bool = False,
-                      px_bytes: int = None) -> tuple[int, int]:
+                      px_bytes: int = None,
+                      has_bg_coarse: bool = False) -> tuple[int, int]:
     """(th, wc) tile sizes against the 16 MB scoped-VMEM limit.
 
     The per-program resident set: both coefficient grids (constant
@@ -240,13 +248,18 @@ def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
     ~24 B per output pixel of tile-proportional allocation (u8 frame +
     u32 out, both double-buffered, plus live f32 temps) — plus another
     24 B/px when a per-pixel background tile rides the row grid
-    ((3, th, wc) f32 double-buffered; ADVICE round 2). A full-width 4K
+    ((3, th, wc) f32 double-buffered; ADVICE round 2). A coarse
+    background grid (bg_mode='coarse', e.g. the blurred source frame)
+    instead adds a tile-size-INDEPENDENT (3, hl, wl) f32 constant block,
+    3/8 of one coefficient grid. A full-width 4K
     tile (w=3840) measured 16.06-18.66 MB — over the limit — so the grid
     tiles columns as well as rows; 6K/8K grow the grid, not the tile.
     Both returned sizes divide (h, w). px_bytes overrides the per-output-
     pixel estimate (e.g. 48 for the float-emitting kernel's f32 planes)."""
     wl_pad = -(-wl // 128) * 128
     coeff_bytes = 2 * 2 * 4 * hl * wl_pad * 4
+    if has_bg_coarse:
+        coeff_bytes += 2 * 3 * hl * wl_pad * 4
     if px_bytes is None:
         px_bytes = 48 if has_bg_image else 24
 
@@ -267,7 +280,8 @@ def pick_refine_tiles(h: int, w: int, hl: int, wl: int,
 def refine_tiles_fit(h: int, w: int, hl: int, wl: int,
                      budget: int = 13 * 2**20,
                      has_bg_image: bool = False,
-                     px_bytes: int = None) -> bool:
+                     px_bytes: int = None,
+                     has_bg_coarse: bool = False) -> bool:
     """Whether ANY (th, wc) tiling fits the scoped-VMEM budget. The
     coefficient grids are tile-size-independent residents, so a small
     pool factor at a large resolution (e.g. pool=2 at 4K: 1088x1920
@@ -275,10 +289,13 @@ def refine_tiles_fit(h: int, w: int, hl: int, wl: int,
     fall back to the unfused guided path (stepfactory checks this)."""
     if px_bytes is None:
         px_bytes = 48 if has_bg_image else 24
-    th, wc = pick_refine_tiles(h, w, hl, wl, budget, px_bytes=px_bytes)
+    th, wc = pick_refine_tiles(h, w, hl, wl, budget, px_bytes=px_bytes,
+                               has_bg_coarse=has_bg_coarse)
     wl_pad = -(-wl // 128) * 128
-    return (2 * 2 * 4 * hl * wl_pad * 4 + wl * wc * 4
-            + th * wc * px_bytes) <= budget
+    coeff_bytes = 2 * 2 * 4 * hl * wl_pad * 4
+    if has_bg_coarse:
+        coeff_bytes += 2 * 3 * hl * wl_pad * 4
+    return (coeff_bytes + wl * wc * 4 + th * wc * px_bytes) <= budget
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "interpret", "mxu"))
@@ -290,7 +307,10 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
 
     frame_u8: (N, H, W, 3) uint8; a_lr/b_lr: (N, H/pool, W/pool, 4) f32
     (channels [alpha, r, g, b]); bg: (3,) color, (H, W, 3) replacement
-    image, or None (premultiplied).
+    image, (N, H/pool, W/pool, 3) per-frame COARSE background (upsampled
+    in-kernel by the same banded bilinear matmuls as the coefficient
+    grids — the portrait-blur path, where the full-res background never
+    touches HBM), or None (premultiplied).
     Returns (N, H, W) uint32 packed RGBA (little-endian R|G<<8|B<<16|A<<24).
 
     mxu: upsample-dot operand mode (see _tail_prologue). "f32" measured
@@ -304,31 +324,45 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
     _, hl, wl, c4 = a_lr.shape
     if (h // hl != pool) or (w // wl != pool) or c4 != 4:
         raise ValueError("coeff grid must be full_res / pool with 4 channels")
-    bg_mode = "image" if (bg is not None and jnp.ndim(bg) == 3) else "color"
-    if bg_mode == "image":
+    if bg is not None and jnp.ndim(bg) == 4:
+        if bg.shape[:3] != (n, hl, wl):
+            raise ValueError(
+                f"coarse bg must be (N, H/pool, W/pool, 3); got {bg.shape} "
+                f"for coeff grid ({n}, {hl}, {wl})")
+        bg_mode = "coarse"
+        bg_in = jnp.transpose(jnp.asarray(bg, jnp.float32), (0, 3, 1, 2))
+    elif bg is not None and jnp.ndim(bg) == 3:
+        bg_mode = "image"
         bg_in = jnp.transpose(jnp.asarray(bg, jnp.float32), (2, 0, 1))
     elif bg is None:
+        bg_mode = "color"
         bg_in = jnp.zeros((1, 4), jnp.float32)
     else:
+        bg_mode = "color"
         bg_in = jnp.concatenate([jnp.asarray(bg, jnp.float32),
                                  jnp.ones((1,), jnp.float32)])[None]
 
     th, wc = pick_refine_tiles(h, w, hl, wl,
-                               has_bg_image=(bg_mode == "image"))
+                               has_bg_image=(bg_mode == "image"),
+                               has_bg_coarse=(bg_mode == "coarse"))
 
     kernel = functools.partial(_refine_kernel, pool=pool, th=th,
                                bg_mode=bg_mode, mxu=mxu)
-    bg_spec = (pl.BlockSpec((3, th, wc), lambda i, j: (0, i, j),
-                            memory_space=pltpu.VMEM)
-               if bg_mode == "image" else
-               pl.BlockSpec((1, 4), lambda i, j: (0, 0),
-                            memory_space=pltpu.SMEM))
+    if bg_mode == "image":
+        bg_spec = pl.BlockSpec((3, th, wc), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM)
+    elif bg_mode == "coarse":
+        bg_spec = pl.BlockSpec((3, hl, wl), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        bg_spec = pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)
 
     frame_p = jnp.transpose(frame_u8, (0, 3, 1, 2))
     a_p = jnp.transpose(a_lr.astype(jnp.float32), (0, 3, 1, 2))
     b_p = jnp.transpose(b_lr.astype(jnp.float32), (0, 3, 1, 2))
 
-    def one(fr, ap, bp):
+    def one(fr, ap, bp, bgi):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint32),
@@ -345,6 +379,10 @@ def fused_refine_composite(frame_u8: jax.Array, a_lr: jax.Array,
             out_specs=pl.BlockSpec((th, wc), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(fr, ap, bp, bg_in)
+        )(fr, ap, bp, bgi)
 
-    return jax.vmap(one)(frame_p, a_p, b_p)
+    # The coarse background is per-frame (vmapped with the batch); the
+    # image/color forms are shared across the batch (broadcast).
+    bg_axis = 0 if bg_mode == "coarse" else None
+    return jax.vmap(one, in_axes=(0, 0, 0, bg_axis))(frame_p, a_p, b_p,
+                                                     bg_in)

@@ -91,6 +91,7 @@ def build_serving_body(
     float_output: bool = False,
     alpha_only: bool = False,
     static_skip_eps: Optional[float] = None,
+    bg_blur: Optional[int] = None,
 ) -> Tuple[Callable, ServingPlan]:
     """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
 
@@ -127,6 +128,19 @@ def build_serving_body(
               uint8 — a 4x smaller D2H than the packed words (2 MB vs
               8 MB at 1080p). Exact: the byte is the same quantized value
               the packed word carries. Ignored on non-packed paths.
+    bg_blur:  portrait-mode background blur — composite the foreground
+              over a BLURRED version of the source frame instead of a
+              replacement color/image. The value is the blur radius in
+              full-resolution pixels; the blur itself is an
+              edge-truncated box mean computed at the COARSE grid
+              (radius/pool) from the already-ingested frame, then
+              bilinearly upsampled. On the fused packed tail the
+              upsample happens INSIDE the refine kernel (bg_mode
+              'coarse' — the same banded matmuls that upsample the
+              coefficient grids), so the full-resolution background
+              never materializes in HBM. Mutually exclusive with
+              bg / bg_dynamic; ignored when float_output (that contract
+              emits raw alpha+fgr, no composite).
     static_skip_eps: opt-in static-scene fast path (temporal layer
               caching in the ReFrame sense, PAPERS.md): when the ingested
               coarse frame's mean abs delta vs the previous frame is
@@ -151,6 +165,10 @@ def build_serving_body(
     """
     if bg_dynamic and bg is not None:
         raise ValueError("bg_dynamic takes bg per call; build with bg=None")
+    if bg_blur and (bg is not None or bg_dynamic):
+        raise ValueError("bg_blur composites over a blur of the source "
+                         "frame; it is mutually exclusive with bg / "
+                         "bg_dynamic")
     net_h, net_w = ((h, w) if ratio >= 1.0
                     else downsample_ratio_shape(h, w, ratio))
     full = (net_h, net_w) == (h, w)
@@ -199,7 +217,8 @@ def build_serving_body(
         has_bg_image = bg_dynamic or (bg is not None and jnp.ndim(bg) == 3)
         if use_fused:
             use_fused = refine_tiles_fit(h, w, net_h, net_w,
-                                         has_bg_image=has_bg_image)
+                                         has_bg_image=has_bg_image,
+                                         has_bg_coarse=bool(bg_blur))
         if use_float_tail:
             # f32 alpha+fgr output planes: 48 B per output pixel resident.
             use_float_tail = refine_tiles_fit(h, w, net_h, net_w,
@@ -242,6 +261,21 @@ def build_serving_body(
     # stepper (float_frames) keeps the plain body.
     use_static_skip = (static_skip_eps is not None and not float_frames
                        and (use_fused or use_float_tail))
+
+    # Portrait-mode background blur (bg_blur): synthesize the background
+    # from the ingested coarse frame. float_output emits raw alpha+fgr
+    # (no composite), so the flag is a no-op there by contract.
+    use_bg_blur = bool(bg_blur) and not float_output
+    if use_bg_blur:
+        from vidmat.ops.guided_filter import box_blur
+
+        # Coarse-grid radius that keeps the requested full-res footprint.
+        blur_rc = max(1, round(bg_blur * net_h / h))
+
+        def bg_from_x(x):
+            """(N, net_h, net_w, 3) [0,1] coarse background: box blur of
+            the already-ingested (already [0,1]-normalized) frame."""
+            return box_blur(x.astype(jnp.float32), blur_rc)
 
     def make_state(batch: int):
         if use_static_skip:
@@ -359,13 +393,29 @@ def build_serving_body(
 
     def body_impl(variables, frame_u8, state, bgv):
         if use_fused:
-            (ma, mb), new_state = fused_stage0(variables, frame_u8, state)
-            out = fused_stage1(frame_u8, ma, mb, bgv)
+            if use_bg_blur:
+                # The blur needs the ingested coarse frame, so this path
+                # runs the same two pieces fused_stage0 composes and
+                # keeps x; the coarse blurred bg is upsampled INSIDE the
+                # refine kernel (bg_mode='coarse').
+                x, al, fg, new_state = coarse_forward(variables, frame_u8,
+                                                      state)
+                ma, mb = fused_coeffs(x, al, fg, frame_u8.shape[0])
+                out = fused_stage1(frame_u8, ma, mb, bg_from_x(x))
+            else:
+                (ma, mb), new_state = fused_stage0(variables, frame_u8,
+                                                   state)
+                out = fused_stage1(frame_u8, ma, mb, bgv)
             return (alpha_byte(out) if use_alpha_only else out), new_state
         # float frame for the guided/errormap/bilinear tails below.
         frame = (frame_u8.astype(jnp.float32) if float_frames
                  else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
         x, alpha, fgr, new_state = coarse_forward(variables, frame_u8, state)
+        if use_bg_blur:
+            # Unfused tails composite at full res in XLA: same coarse
+            # blur, explicit bilinear upsample (identical half-pixel
+            # semantics to the kernel's banded matrices).
+            bgv = resize_bilinear(bg_from_x(x), h, w)
         if not full:
             if use_float_tail:
                 from vidmat.ops.pallas.refine_kernel import fused_refine_float
@@ -450,6 +500,12 @@ def build_serving_body(
         changed = delta > static_skip_eps
         ref_x, ma, mb, ns = jax.lax.cond(changed, compute, reuse,
                                          (x, net_state))
+        if use_bg_blur:
+            # Blur of the CURRENT frame (x), not the coefficient
+            # reference — the tail always runs on the current frame, so
+            # the background tracks sub-eps motion too.
+            bgv = (bg_from_x(x) if use_fused
+                   else resize_bilinear(bg_from_x(x), h, w))
         if use_fused:
             out = fused_stage1(frame_u8, ma, mb, bgv)
             if use_alpha_only:
@@ -497,9 +553,10 @@ def build_serving_body(
             ma, mb = fused_coeffs(x_k,
                                   alphas.reshape((k,) + alphas.shape[2:]),
                                   fgrs.reshape((k,) + fgrs.shape[2:]), k)
+            bgc = bg_from_x(x_k) if use_bg_blur else bg
             out = fused_stage1(frames_u8.reshape((k,)
                                                  + frames_u8.shape[2:]),
-                               ma, mb, bg)
+                               ma, mb, bgc)
             if use_alpha_only:
                 out = alpha_byte(out)
             return out[:, None], new_state

@@ -153,6 +153,7 @@ class VideoPipeline:
                  bg_color: Optional[Tuple[float, float, float]] = None,
                  bg_image: Optional[Union[str, np.ndarray]] = None,
                  bg_video: Optional[Union[str, object]] = None,
+                 bg_blur: Optional[int] = None,
                  refiner_variables=None):
         """bg_image: background-replacement image — path or (H, W, 3)
         array (uint8 or float in [0, 1]); resized once to each stream's
@@ -165,7 +166,15 @@ class VideoPipeline:
         frames seen so far are cycled). Takes precedence over bg_image.
         The background rides the jitted step as a traced argument
         (stepfactory bg_dynamic), so switching backgrounds never
-        recompiles."""
+        recompiles.
+
+        bg_blur: portrait-mode background blur — composite the foreground
+        over a blurred version of the SOURCE frame (radius in full-res
+        pixels, e.g. 16). The blur is synthesized on device from the
+        already-ingested coarse frame and, on the fused Pallas tail,
+        upsampled inside the refine kernel — no full-res background ever
+        materializes in HBM. Takes precedence over bg_video / bg_image /
+        bg_color."""
         self.model_cfg = model_cfg
         self.pipe_cfg = pipe_cfg or PipelineConfig()
         if variables is None:
@@ -183,6 +192,7 @@ class VideoPipeline:
         self.bg_color = bg_color
         self.bg_image = bg_image
         self.bg_video = bg_video
+        self.bg_blur = bg_blur
         self._step_cache = {}
         cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
                   else None)
@@ -223,8 +233,10 @@ class VideoPipeline:
         cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         net_h, net_w = ((h, w) if ratio >= 1.0
                         else downsample_ratio_shape(h, w, ratio))
-        bg_dynamic = self.bg_video is not None
-        if bg_dynamic:
+        bg_dynamic = self.bg_video is not None and not self.bg_blur
+        if self.bg_blur:
+            bg = None  # synthesized on device from the source frame
+        elif bg_dynamic:
             bg = None  # per-frame traced argument (stepfactory bg_dynamic)
         elif self.bg_image is not None:
             bg = jnp.asarray(_prepare_bg_image(self.bg_image, h, w))
@@ -249,7 +261,8 @@ class VideoPipeline:
             need_fgr=need_fgr, tile_size=cfg.tile_size,
             tile_overlap=cfg.tile_overlap, refiner=refiner,
             bg_dynamic=bg_dynamic, alpha_only=alpha_only,
-            static_skip_eps=cfg.static_skip_eps)
+            static_skip_eps=cfg.static_skip_eps,
+            bg_blur=self.bg_blur)
 
         step = jax.jit(body)
         chunk_step = None
@@ -347,7 +360,8 @@ class VideoPipeline:
                     and not output_foreground and not output_composition)
                 state = plan.make_state(1)
                 bg_src = (_BgFrameSource(self.bg_video, ph, pw)
-                          if self.bg_video is not None else None)
+                          if self.bg_video is not None
+                          and not self.bg_blur else None)
                 if output_alpha:
                     writers["alpha"] = VideoWriter(output_alpha, source.fps)
                 if output_foreground:
