@@ -415,6 +415,10 @@ def main() -> None:
                          "dispatch floor (~1 ms on the dev tunnel). "
                          "Default: the ladder preset's chunk_size "
                          "(1080p/480p chunked, 4K/multistream per-frame)")
+    ap.add_argument("--bg-blur", type=int, default=None, metavar="RADIUS",
+                    help="measure the portrait-mode tail: composite over "
+                         "a coarse-synthesized blur of the source frame "
+                         "(in-kernel upsample on the fused path)")
     args, _ = ap.parse_known_args()
     # Fresh TPU compiles over the dev tunnel take 5-25 min (docs/
     # PERFORMANCE.md) — a 900s watchdog fired mid-compile on e2e (r2) and
@@ -500,9 +504,11 @@ def main() -> None:
     # built with the preset's refine config and tiling.
     tile_kw = (dict(tile_size=pcfg.tile_size, tile_overlap=pcfg.tile_overlap)
                if mode == "4k_tiled" else {})
+    if args.bg_blur:
+        preset_label += f" (bg_blur={args.bg_blur} portrait tail)"
     body, plan = build_serving_body(
         net, cfg, pcfg.refine, h, w, ratio, cdtype=cdtype, bg=None,
-        **tile_kw)
+        bg_blur=args.bg_blur, **tile_kw)
     # Frames-per-dispatch follows the preset's chunk_size. 4K/multistream
     # presets keep chunk=1 (tile batch / live-stream gather fills the chip).
     chunk = max(1, args.chunk if args.chunk is not None

@@ -147,3 +147,43 @@ def test_export_refuses_random_weights(tmp_path):
         export_bundle(str(tmp_path / "b"), H, W,
                       model_cfg=ModelConfig(enc_channels=(8, 8, 8, 8),
                                             dec_channels=(8, 8, 8, 8)))
+
+
+def test_bundle_bg_blur_matches_live(tmp_path):
+    """A portrait-mode (bg_blur) bundle synthesizes its background from
+    the frame input on device — nothing is baked into the artifact — and
+    must reproduce the live bg_blur serving body bit-exactly."""
+    from vidmat.models.matting_net import MattingNetwork
+    from vidmat.pipeline.stepfactory import build_serving_body
+
+    cfg = ModelConfig()
+    pipe = PipelineConfig(downsample_ratio=0.5, dtype="bfloat16",
+                          refine=RefineConfig(mode="guided"))
+    variables = init_params(cfg, seed=7)
+    path = str(tmp_path / "b")
+    export_bundle(path, H, W, model_cfg=cfg, pipe_cfg=pipe,
+                  variables=variables, bg_blur=6,
+                  bg_color=(1.0, 0.0, 0.0))  # bg_blur wins (precedence)
+    bundle = ServingBundle(path)
+    assert bundle.manifest["bg"] == "blur"
+    assert bundle.manifest["bg_blur"] == 6
+
+    net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+    ph, pw = H + ((-H) % 16), W + ((-W) % 16)
+    body, plan = build_serving_body(
+        net, cfg, pipe.refine, ph, pw, pipe.downsample_ratio,
+        cdtype=jnp.bfloat16, bg=None, use_pallas=pipe.use_pallas,
+        bg_blur=6)
+    step = jax.jit(body)
+    state = plan.make_state(1)
+    dvars = jax.tree_util.tree_map(jnp.asarray, variables)
+    for frame in _frames(3, seed=4):
+        out = bundle.step(frame)
+        padded = np.pad(frame, ((0, ph - H), (0, pw - W), (0, 0)),
+                        mode="edge")[None]
+        live, state = step(dvars, jnp.asarray(padded), state)
+        alpha_u8, fgr_u8, rgba = live
+        np.testing.assert_array_equal(out["alpha"],
+                                      np.asarray(alpha_u8)[0, :H, :W, 0])
+        np.testing.assert_array_equal(out["comp"],
+                                      np.asarray(rgba)[0, :H, :W])

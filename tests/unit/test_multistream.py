@@ -189,3 +189,35 @@ def test_multistream_chunked_serve_tail_and_stream_end():
                    max_frames=3)
     assert s["batch_steps"] == 3
     assert len(got) == 6
+
+
+def test_multistream_bg_blur_portrait():
+    """Portrait mode (bg_blur) across the mesh: each stream composites
+    over a blur of its OWN frames — the coarse background is synthesized
+    per batch row inside the serving body, so it shards with the stream
+    axis. Meshed output must match the unmeshed batched instance, and the
+    second output is the composition (not raw foreground)."""
+    import pytest
+
+    cfg = ModelConfig(conv_impl="planar")
+    h = w = 64
+    mesh = make_mesh(("stream",), (8,))
+    ms = MultiStreamMatting(8, h, w, cfg=cfg, mesh=mesh, dtype="float32",
+                            pallas_interpret=True, downsample_ratio=0.5,
+                            bg_blur=8)
+    one = MultiStreamMatting(8, h, w, cfg=cfg, variables=ms.variables,
+                             dtype="float32", pallas_interpret=True,
+                             use_pallas=True, downsample_ratio=0.5,
+                             bg_blur=8)
+    rng = np.random.RandomState(1)
+    for _ in range(2):
+        f = rng.randint(0, 255, (8, h, w, 3), np.uint8)
+        a_mesh, c_mesh = ms.step(f)
+        a_one, c_one = one.step(f)
+        assert c_mesh.shape[-1] == 4  # composition RGBA, not raw fgr
+        assert np.abs(a_mesh.astype(int) - a_one.astype(int)).max() <= 1
+        assert np.abs(c_mesh.astype(int) - c_one.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MultiStreamMatting(2, h, w, cfg=cfg, variables=ms.variables,
+                           bg_color=(0.0, 1.0, 0.0), bg_blur=8)

@@ -100,3 +100,38 @@ def test_pipelined_preconditions():
     with pytest.raises(ValueError, match="fused tail"):
         PipelinedMatting(64, 64, _mesh2(), cfg=cfg, downsample_ratio=1.0,
                          pallas_interpret=True)
+
+
+def test_pipelined_bg_blur_matches_single_device():
+    """Portrait mode through the 2-stage pipeline: the coarse blurred
+    background is a stage-0 product ppermuted with the coefficient
+    grids, so pipelined bg_blur serving must match single-device bg_blur
+    serving (+-1 u8 across separately compiled programs)."""
+    cfg = ModelConfig(conv_impl="planar")
+    h = w = 64
+    pp = PipelinedMatting(h, w, _mesh2(), cfg=cfg, dtype="float32",
+                          downsample_ratio=0.5, bg_blur=8,
+                          pallas_interpret=True)
+    one = MultiStreamMatting(1, h, w, cfg=cfg, variables=pp.variables,
+                             dtype="float32", pallas_interpret=True,
+                             use_pallas=True, downsample_ratio=0.5,
+                             bg_blur=8)
+    frames = _frames(4, h, w, seed=3)
+    ref = [one.step(f[None]) for f in frames]
+
+    outs = []
+    for f in frames:
+        r = pp.step(f)
+        if r is not None:
+            outs.append(r)
+    outs.append(pp.flush())
+
+    assert len(outs) == len(frames)
+    for (a_pp, rgba_pp), (a_1, rgba_1) in zip(outs, ref):
+        assert np.abs(a_pp.astype(int) - a_1[0].astype(int)).max() <= 1
+        assert np.abs(rgba_pp.astype(int) - rgba_1[0].astype(int)).max() <= 1
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PipelinedMatting(h, w, _mesh2(), cfg=cfg, dtype="float32",
+                         downsample_ratio=0.5, bg_color=BG, bg_blur=8,
+                         pallas_interpret=True)

@@ -81,6 +81,10 @@ def _add_multistream(sub):
                    help="frames per stream per dispatch (throughput mode: "
                         "K>1 amortizes dispatch overhead at K-frame "
                         "output latency)")
+    p.add_argument("--bg-blur", type=int, default=None, metavar="RADIUS",
+                   help="portrait mode: also write composition_NN.mp4 per "
+                        "stream, compositing over a blur of that stream's "
+                        "own frames (radius in full-res pixels)")
 
 
 def _add_export(sub):
@@ -99,6 +103,10 @@ def _add_export(sub):
                    help="baked composite background R,G,B in [0,1]")
     p.add_argument("--bg-image", default=None,
                    help="baked background replacement image path")
+    p.add_argument("--bg-blur", type=int, default=None, metavar="RADIUS",
+                   help="portrait mode: the bundle composites over a blur "
+                        "of the source frame (radius in full-res pixels; "
+                        "overrides --bg-color/--bg-image)")
     p.add_argument("--alpha-only", action="store_true",
                    help="bundle emits only the uint8 alpha plane "
                         "(4x smaller per-frame readback)")
@@ -241,12 +249,20 @@ def main(argv=None) -> int:
         else:
             ms_cfg.setdefault("downsample_ratio", 0.25)
         ms = MultiStreamMatting(len(readers), h, w, variables=variables,
-                                chunk=args.chunk, **ms_cfg)
+                                chunk=args.chunk, bg_blur=args.bg_blur,
+                                **ms_cfg)
         os.makedirs(args.output_dir, exist_ok=True)
         writers = [VideoWriter(os.path.join(args.output_dir,
                                             f"alpha_{i:02d}.mp4"),
                                readers[i].fps)
                    for i in range(len(readers))]
+        # Portrait mode: the step's second output is each stream's
+        # composition over a blur of its own frames — write those too.
+        comp_writers = ([VideoWriter(os.path.join(args.output_dir,
+                                                  f"composition_{i:02d}.mp4"),
+                                     readers[i].fps)
+                         for i in range(len(readers))]
+                        if args.bg_blur else [])
         # Crop each stream to its OWN frame size (inputs smaller than the
         # canonical bucket would otherwise get edge-extension padding baked
         # into the written alpha; ADVICE round 1).
@@ -256,10 +272,12 @@ def main(argv=None) -> int:
         def on_output(i, n, alpha, out):
             ch, cw = crops[i]
             writers[i].write(alpha[:ch, :cw])
+            if comp_writers:
+                comp_writers[i].write(out[:ch, :cw])
 
         summary = ms.serve([padded(r) for r in readers],
                            on_output=on_output)
-        for wr in writers:
+        for wr in writers + comp_writers:
             wr.close()
         print(json.dumps(summary))
         return 0
@@ -285,7 +303,8 @@ def main(argv=None) -> int:
             pipe_cfg=pipe_cfg, variables=variables,
             downsample_ratio=args.downsample_ratio,
             bg_color=None if args.raw_foreground else bg,
-            bg_image=args.bg_image, alpha_only=args.alpha_only,
+            bg_image=args.bg_image, bg_blur=args.bg_blur,
+            alpha_only=args.alpha_only,
             need_fgr=args.raw_foreground)
         with open(f"{path}/manifest.json") as f:
             print(f.read())

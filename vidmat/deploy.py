@@ -83,6 +83,7 @@ def export_bundle(out_dir: str, height: int, width: int, *,
                   bg_color: Optional[Tuple[float, float, float]] = (0.0, 1.0,
                                                                     0.0),
                   bg_image: Optional[Union[str, np.ndarray]] = None,
+                  bg_blur: Optional[int] = None,
                   alpha_only: bool = False,
                   need_fgr: bool = False) -> str:
     """Export an AOT serving bundle for a fixed (height, width) stream.
@@ -100,6 +101,12 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         (forces the u8-tuple output). Per-frame video backgrounds are a
         traced-argument feature of the live pipeline and are not
         exportable as a fixed-signature artifact.
+    bg_blur: portrait-mode background blur (radius in full-res pixels) —
+        the bundle composites over a blur of the source frame itself,
+        synthesized on device (no background is baked into the
+        artifact). Takes precedence over bg_color/bg_image; exportable
+        because the background derives from the frame input, not from
+        an extra argument.
     alpha_only: the bundle emits only the (H, W) uint8 alpha plane
         (packed Pallas path; 4x smaller D2H). Ignored off the packed path.
     need_fgr: the bundle emits raw foreground (u8 tuple path).
@@ -131,7 +138,10 @@ def export_bundle(out_dir: str, height: int, width: int, *,
     net = MattingNetwork(model_cfg,
                          dtype=cdtype if pipe_cfg.dtype == "bfloat16"
                          else None)
-    if bg_image is not None:
+    if bg_blur:
+        bg = None  # synthesized from the frame inside the body
+        bg_kind = "blur"
+    elif bg_image is not None:
         bg = jnp.asarray(_prepare_bg_image(bg_image, ph, pw))
         bg_kind = "image"
     elif bg_color is not None:
@@ -147,7 +157,8 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         cdtype=cdtype, bg=bg, use_pallas=pipe_cfg.use_pallas,
         need_fgr=need_fgr, tile_size=pipe_cfg.tile_size,
         tile_overlap=pipe_cfg.tile_overlap, alpha_only=alpha_only,
-        static_skip_eps=pipe_cfg.static_skip_eps)
+        static_skip_eps=pipe_cfg.static_skip_eps,
+        bg_blur=bg_blur if bg_kind == "blur" else None)
 
     state0 = plan.make_state(1)
     p_leaves, p_tree = jax.tree_util.tree_flatten(variables)
@@ -219,6 +230,7 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         "net_h": plan.net_h, "net_w": plan.net_w, "pool": plan.pool,
         "output": output,
         "bg": bg_kind,
+        "bg_blur": bg_blur if bg_kind == "blur" else None,
         "chunk": k if chunk_blob is not None else 1,
         "static_skip": plan.static_skip,
         "platforms": list(exp.platforms),

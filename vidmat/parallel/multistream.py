@@ -44,11 +44,16 @@ class MultiStreamMatting:
                  refine: RefineConfig = RefineConfig(),
                  dtype: str = "bfloat16",
                  bg_color: Optional[Tuple[float, float, float]] = None,
+                 bg_blur: Optional[int] = None,
                  chunk: int = 1,
                  use_pallas: Optional[bool] = None,
                  pallas_interpret: bool = False):
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16")
+        if bg_blur and bg_color is not None:
+            raise ValueError("bg_blur composites over a blur of each "
+                             "stream's own frames; it is mutually "
+                             "exclusive with bg_color")
         if mesh is not None and num_streams % mesh.devices.size:
             # Cheap precondition first — before the (possibly raising,
             # seconds-long) default-checkpoint restore below.
@@ -86,10 +91,15 @@ class MultiStreamMatting:
                           or pallas_interpret)
         # bg None keeps the raw-foreground output contract (the packed word
         # carries composited RGB), so it forces the u8-tuple path.
+        # bg_blur (portrait mode): each stream composites over a blur of
+        # its OWN frames — the coarse background is synthesized per batch
+        # row inside the body (vmapped with the stream axis), so it
+        # shards over the mesh with everything else.
         body, plan = build_serving_body(
             net, cfg, refine, height, width, downsample_ratio,
             cdtype=cdtype, bg=bg, use_pallas=use_pallas,
-            need_fgr=bg is None, pallas_interpret=pallas_interpret)
+            need_fgr=(bg is None and not bg_blur), bg_blur=bg_blur,
+            pallas_interpret=pallas_interpret)
         self.net_h, self.net_w = plan.net_h, plan.net_w
         self._state_hw = (plan.state_h, plan.state_w)
         self._packed = plan.packed
@@ -108,7 +118,7 @@ class MultiStreamMatting:
                 # D2H (io.native.unpack_rgba) — keep it packed on-device.
                 return outs, outs, new_state
             alpha_u8, fgr_u8, rgba = outs
-            out = rgba if bg is not None else fgr_u8
+            out = rgba if (bg is not None or bg_blur) else fgr_u8
             return alpha_u8, out, new_state
 
         self.chunk = max(1, chunk)

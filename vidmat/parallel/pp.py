@@ -84,6 +84,7 @@ class PipelinedMatting:
                  refine: RefineConfig = RefineConfig(),
                  dtype: str = "bfloat16",
                  bg_color: Optional[Tuple[float, float, float]] = None,
+                 bg_blur: Optional[int] = None,
                  tile_size: Optional[int] = None,
                  tile_overlap: int = 64,
                  chunk: int = 1,
@@ -96,6 +97,10 @@ class PipelinedMatting:
                 " for >2 devices run pipelined pairs under multi-stream DP")
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16")
+        if bg_blur and bg_color is not None:
+            raise ValueError("bg_blur composites over a blur of the "
+                             "source frame; it is mutually exclusive "
+                             "with bg_color")
         self.h, self.w = height, width
         self.cfg = cfg
         self.variables = jax.tree_util.tree_map(
@@ -113,7 +118,7 @@ class PipelinedMatting:
             net, cfg, refine, height, width, downsample_ratio,
             cdtype=cdtype, bg=bg, use_pallas=use_pallas,
             tile_size=tile_size, tile_overlap=tile_overlap,
-            pallas_interpret=pallas_interpret)
+            bg_blur=bg_blur, pallas_interpret=pallas_interpret)
         if plan.fused_stage0 is None:
             raise ValueError(
                 "pipeline-parallel serving needs the fully fused tail: an "
@@ -127,32 +132,59 @@ class PipelinedMatting:
         ax = mesh.axis_names[0]
         h_, w_ = height, width
 
+        use_blur = self._use_blur = bool(bg_blur)
+
         def local_step(variables, frame_u8, carry):
             # carry leaves arrive with the local (1,)-sized pp axis in
             # front; index it off to recover each device's private slot.
-            st_stk, pa_stk, pb_stk, pf_stk = carry
+            # bg_blur adds one slot: the pending coarse blurred
+            # background (a stage-0 product, ppermuted with the grids).
+            if use_blur:
+                st_stk, pa_stk, pb_stk, pg_stk, pf_stk = carry
+                pg = pg_stk[0]
+            else:
+                st_stk, pa_stk, pb_stk, pf_stk = carry
             st = jax.tree_util.tree_map(lambda l: l[0], st_stk)
             pa, pb, pf = pa_stk[0], pb_stk[0], pf_stk[0]
             idx = jax.lax.axis_index(ax)
 
-            def coarse(_):
-                (ma, mb), ns = stage0(variables, frame_u8, st)
-                return ma, mb, jnp.zeros((1, h_, w_), jnp.uint32), ns
+            if use_blur:
+                def coarse(_):
+                    (ma, mb, bgc), ns = stage0(variables, frame_u8, st)
+                    return (ma, mb, bgc.astype(jnp.float32),
+                            jnp.zeros((1, h_, w_), jnp.uint32), ns)
 
-            def refine_prev(_):
-                out = stage1(pf, pa, pb, bg)
-                return jnp.zeros_like(pa), jnp.zeros_like(pb), out, st
+                def refine_prev(_):
+                    out = stage1(pf, pa, pb, pg)
+                    return (jnp.zeros_like(pa), jnp.zeros_like(pb),
+                            jnp.zeros_like(pg), out, st)
 
-            ma, mb, out, ns = jax.lax.cond(idx == 0, coarse, refine_prev,
-                                           None)
+                ma, mb, bgc, out, ns = jax.lax.cond(idx == 0, coarse,
+                                                    refine_prev, None)
+            else:
+                def coarse(_):
+                    (ma, mb), ns = stage0(variables, frame_u8, st)
+                    return ma, mb, jnp.zeros((1, h_, w_), jnp.uint32), ns
+
+                def refine_prev(_):
+                    out = stage1(pf, pa, pb, bg)
+                    return jnp.zeros_like(pa), jnp.zeros_like(pb), out, st
+
+                ma, mb, out, ns = jax.lax.cond(idx == 0, coarse,
+                                               refine_prev, None)
             # Handoff OUTSIDE the cond (every device participates): ring-
             # shift the coefficient grids one hop; device 1 receives the
             # grids it will apply next step, device 0 receives zeros.
             perm = [(0, 1), (1, 0)]
             ra = jax.lax.ppermute(ma, ax, perm)
             rb = jax.lax.ppermute(mb, ax, perm)
-            new_carry = (jax.tree_util.tree_map(lambda l: l[None], ns),
-                         ra[None], rb[None], frame_u8[None])
+            ns_stk = jax.tree_util.tree_map(lambda l: l[None], ns)
+            if use_blur:
+                rg = jax.lax.ppermute(bgc, ax, perm)
+                new_carry = (ns_stk, ra[None], rb[None], rg[None],
+                             frame_u8[None])
+            else:
+                new_carry = (ns_stk, ra[None], rb[None], frame_u8[None])
             return out[None], new_carry
 
         self.chunk = max(1, chunk)
@@ -194,6 +226,8 @@ class PipelinedMatting:
                 lambda l: jnp.stack([l, jnp.zeros_like(l)]), st),
             jnp.zeros((2, 1, hl, wl, 4), jnp.float32),
             jnp.zeros((2, 1, hl, wl, 4), jnp.float32),
+            *((jnp.zeros((2, 1, hl, wl, 3), jnp.float32),)
+              if self._use_blur else ()),
             jnp.zeros((2, 1, self.h, self.w, 3), jnp.uint8),
         )
         self._carry = jax.device_put(carry, self._sharding)

@@ -64,6 +64,8 @@ class ServingPlan:
     # so a 2-device pipeline built from them is bit-identical to
     # single-device serving by construction (parallel/pp.py):
     #   fused_stage0(variables, frame_u8, state) -> (ma, mb), new_state
+    #     (with bg_blur: -> (ma, mb, coarse_bg), new_state — the blurred
+    #     coarse background is a stage-0 product, handed to stage 1)
     #   fused_stage1(frame_u8, ma, mb, bgv) -> (N, H, W) uint32 packed
     fused_stage0: object = None
     fused_stage1: object = None
@@ -374,10 +376,17 @@ def build_serving_body(
     # Stage split of the fused path (ServingPlan.fused_stage0/1): the
     # one-shot body below composes exactly these two functions, so the
     # 2-device stage pipeline (parallel/pp.py) serves bit-identically to
-    # single-device serving by construction.
+    # single-device serving by construction. With bg_blur the coarse
+    # blurred background is part of the stage-0 product (it derives from
+    # the ingested coarse frame, which lives on stage 0) — stage 1 takes
+    # it through its existing bgv argument, so the PP handoff is just one
+    # more small coarse grid on the ppermute ring.
     def fused_stage0(variables, frame_u8, state):
         x, alpha, fgr, new_state = coarse_forward(variables, frame_u8, state)
-        return fused_coeffs(x, alpha, fgr, frame_u8.shape[0]), new_state
+        ma, mb = fused_coeffs(x, alpha, fgr, frame_u8.shape[0])
+        if use_bg_blur:
+            return (ma, mb, bg_from_x(x)), new_state
+        return (ma, mb), new_state
 
     def fused_stage1(frame_u8, ma, mb, bgv):
         from vidmat.ops.pallas.refine_kernel import fused_refine_composite
@@ -393,19 +402,14 @@ def build_serving_body(
 
     def body_impl(variables, frame_u8, state, bgv):
         if use_fused:
+            s0, new_state = fused_stage0(variables, frame_u8, state)
             if use_bg_blur:
-                # The blur needs the ingested coarse frame, so this path
-                # runs the same two pieces fused_stage0 composes and
-                # keeps x; the coarse blurred bg is upsampled INSIDE the
-                # refine kernel (bg_mode='coarse').
-                x, al, fg, new_state = coarse_forward(variables, frame_u8,
-                                                      state)
-                ma, mb = fused_coeffs(x, al, fg, frame_u8.shape[0])
-                out = fused_stage1(frame_u8, ma, mb, bg_from_x(x))
+                # The coarse blurred bg rides the stage-0 product and is
+                # upsampled INSIDE the refine kernel (bg_mode='coarse').
+                ma, mb, bgv = s0
             else:
-                (ma, mb), new_state = fused_stage0(variables, frame_u8,
-                                                   state)
-                out = fused_stage1(frame_u8, ma, mb, bgv)
+                ma, mb = s0
+            out = fused_stage1(frame_u8, ma, mb, bgv)
             return (alpha_byte(out) if use_alpha_only else out), new_state
         # float frame for the guided/errormap/bilinear tails below.
         frame = (frame_u8.astype(jnp.float32) if float_frames
