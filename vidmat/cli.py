@@ -130,13 +130,20 @@ def _add_bundle_video(sub):
 
 
 def _add_train(sub):
-    p = sub.add_parser("train", help="train on synthetic clips (demo)")
+    p = sub.add_parser(
+        "train", help="train on synthetic clips, or a directory-format "
+        "dataset (--fgr-dir/--pha-dir)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--out", default="checkpoints/demo")
     p.add_argument("--clip-len", type=int, default=4)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--size", type=int, default=64)
+    p.add_argument("--fgr-dir", help="foreground clip dirs "
+                   "(VideoMatte-style layout; requires --pha-dir)")
+    p.add_argument("--pha-dir", help="alpha clip dirs matching --fgr-dir")
+    p.add_argument("--bg-dir", help="background stills for on-the-fly "
+                   "compositing (default: solid random colors)")
 
 
 def main(argv=None) -> int:
@@ -325,14 +332,24 @@ def main(argv=None) -> int:
     if args.cmd == "train":
         from vidmat.config import ModelConfig
         from vidmat.models.weights import save_checkpoint
-        from vidmat.train.data import synthetic_clip_batches
         from vidmat.train.loop import train_on_clips
 
+        if (args.fgr_dir is None) != (args.pha_dir is None):
+            raise SystemExit("--fgr-dir and --pha-dir go together")
+        if args.fgr_dir:
+            from vidmat.train.dataset import ClipDirDataset
+
+            data = ClipDirDataset(
+                args.fgr_dir, args.pha_dir, bgr_root=args.bg_dir,
+                clip_len=args.clip_len, batch=args.batch,
+                size=args.size).batches()
+        else:
+            from vidmat.train.data import synthetic_clip_batches
+
+            data = synthetic_clip_batches(t=args.clip_len, n=args.batch,
+                                          h=args.size, w=args.size)
         cfg = ModelConfig()
-        state = train_on_clips(
-            cfg, synthetic_clip_batches(t=args.clip_len, n=args.batch,
-                                        h=args.size, w=args.size),
-            num_steps=args.steps, lr=args.lr)
+        state = train_on_clips(cfg, data, num_steps=args.steps, lr=args.lr)
         save_checkpoint(args.out, state.variables)
         print(f"saved checkpoint to {args.out}")
         return 0

@@ -55,3 +55,46 @@ def synthetic_frames_only(h: int, w: int, num_frames: int, seed: int = 0
                           ) -> Iterator[np.ndarray]:
     for frame, _ in synthetic_clip(h, w, num_frames, seed):
         yield frame
+
+
+def write_synthetic_matting_dataset(root: str, num_clips: int = 2,
+                                    frames: int = 6, h: int = 96,
+                                    w: int = 96, seed: int = 0,
+                                    backgrounds: int = 2) -> dict:
+    """Write a directory-format matting dataset (fgr/pha clip dirs + bgr
+    stills) from the synthetic fixture — the on-disk layout
+    ``train.dataset.ClipDirDataset`` reads. Foreground frames store the
+    PURE foreground (disk color over black), alpha the exact soft matte.
+
+    Returns {'fgr': ..., 'pha': ..., 'bgr': ...} root paths.
+    """
+    import os
+
+    import cv2
+
+    paths = {k: f"{root}/{k}" for k in ("fgr", "pha", "bgr")}
+    for ci in range(num_clips):
+        fd = f"{paths['fgr']}/clip_{ci:03d}"
+        pd = f"{paths['pha']}/clip_{ci:03d}"
+        os.makedirs(fd, exist_ok=True)
+        os.makedirs(pd, exist_ok=True)
+        for fi, (frame, alpha) in enumerate(
+                synthetic_clip(h, w, frames, seed=seed + ci)):
+            # the frame itself is the foreground layer (same convention as
+            # synthetic_clip_batches: "frame where alpha>0"); the loader's
+            # composite fgr*pha + bg*(1-pha) then yields a valid
+            # (input, alpha, fgr) training triple
+            cv2.imwrite(f"{fd}/{fi:05d}.png",
+                        cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(f"{pd}/{fi:05d}.png",
+                        np.round(alpha[..., 0] * 255).astype(np.uint8))
+    os.makedirs(paths["bgr"], exist_ok=True)
+    rng = np.random.RandomState(seed + 777)
+    for bi in range(backgrounds):
+        noise = rng.rand(h * 2, w * 2, 3).astype(np.float32)
+        bg = cv2.GaussianBlur(noise, (0, 0), sigmaX=9)
+        bg = (bg - bg.min()) / max(1e-6, bg.max() - bg.min())
+        cv2.imwrite(f"{paths['bgr']}/bg_{bi:03d}.png",
+                    cv2.cvtColor(np.round(bg * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR))
+    return paths
