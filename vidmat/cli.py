@@ -146,6 +146,27 @@ def _add_train(sub):
                    "compositing (default: solid random colors)")
 
 
+def _add_evaluate(sub):
+    p = sub.add_parser(
+        "evaluate",
+        help="score a predicted alpha sequence against ground truth "
+             "(MAD/MSE/SAD/Grad/Conn/dtSSD, literature units)")
+    p.add_argument("pred", help="predicted alpha: video file, image dir, "
+                                "printf pattern, or glob")
+    p.add_argument("true", help="ground-truth alpha (same source forms)")
+    p.add_argument("--metrics", default="mad,mse,sad,grad,dtssd",
+                   help="comma list from mad,mse,sad,grad,conn,dtssd "
+                        "(conn is the host connected-component sweep; "
+                        "slow on long clips)")
+    p.add_argument("--pred-fgr", help="predicted foreground sequence: "
+                                      "adds the fgr_mse metric (alpha>0 "
+                                      "region; requires --true-fgr)")
+    p.add_argument("--true-fgr", help="ground-truth foreground sequence")
+    p.add_argument("--per-frame", action="store_true",
+                   help="include the per-frame rows in the JSON")
+    p.add_argument("--output", help="write the JSON report here as well")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vidmat")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -156,6 +177,7 @@ def main(argv=None) -> int:
     _add_export(sub)
     _add_bundle_video(sub)
     _add_train(sub)
+    _add_evaluate(sub)
     args = parser.parse_args(argv)
 
     if args.cmd == "video":
@@ -352,6 +374,54 @@ def main(argv=None) -> int:
         state = train_on_clips(cfg, data, num_steps=args.steps, lr=args.lr)
         save_checkpoint(args.out, state.variables)
         print(f"saved checkpoint to {args.out}")
+        return 0
+
+    if args.cmd == "evaluate":
+        from vidmat.eval import VideoEval, alpha_frames
+        from vidmat.eval.metrics import scale_metric
+
+        metrics = tuple(m.strip() for m in args.metrics.split(",")
+                        if m.strip())
+        if bool(args.pred_fgr) != bool(args.true_fgr):
+            print("error: --pred-fgr and --true-fgr must be given together",
+                  file=sys.stderr)
+            return 1
+        if args.pred_fgr and "fgr_mse" not in metrics:
+            metrics = metrics + ("fgr_mse",)
+        ev = VideoEval(metrics=metrics)
+        it_true = alpha_frames(args.true)
+        from vidmat.eval import rgb_frames
+        it_pf = rgb_frames(args.pred_fgr) if args.pred_fgr else None
+        it_tf = rgb_frames(args.true_fgr) if args.true_fgr else None
+        n = 0
+        for pred in alpha_frames(args.pred):
+            true = next(it_true, None)
+            if true is None:
+                print(f"error: true sequence ended at frame {n} while "
+                      f"pred continues", file=sys.stderr)
+                return 1
+            pf = next(it_pf, None) if it_pf is not None else None
+            tf = next(it_tf, None) if it_tf is not None else None
+            if it_pf is not None and (pf is None or tf is None):
+                print(f"error: foreground sequence ended at frame {n}",
+                      file=sys.stderr)
+                return 1
+            ev.update(pred, true, pred_fgr=pf, true_fgr=tf)
+            n += 1
+        if next(it_true, None) is not None:
+            print(f"error: pred sequence ended at frame {n} while "
+                  f"true continues", file=sys.stderr)
+            return 1
+        report = ev.summary()
+        if args.per_frame:
+            report["per_frame"] = [
+                {k: scale_metric(k, v) for k, v in row.items()}
+                for row in ev.frames]
+        text = json.dumps(report, indent=2)
+        print(text)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text + "\n")
         return 0
 
     return 1
