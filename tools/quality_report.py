@@ -1,0 +1,123 @@
+"""Quality report: score every shipped checkpoint with the full matting
+metric set (vidmat.eval) on held-out synthetic clips.
+
+Writes a markdown table (docs/QUALITY.md with --write) so the shipped
+weights' quality is recorded in the literature's units — MAD/MSE ×1e3,
+SAD/Grad/Conn /1e3, dtSSD ×1e2 — not just the pass/fail MAD gates in
+tests/integration/test_quality.py.
+
+Held-out protocol: fixture seeds never used in training
+(vidmat/train/data.py trains on seeds derived from the step counter;
+the seeds here match the quality tests' held-out convention).
+
+Usage: python tools/quality_report.py [--write] [--frames N] [--size HxW]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HELD_OUT_SEEDS = (987654, 24680, 1357911)
+
+
+def eval_checkpoint(name: str, *, frames: int, h: int, w: int) -> dict:
+    """Run the serving session for one shipped checkpoint over held-out
+    clips and return the scaled metric summary."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from vidmat.api import MattingSession
+    from vidmat.config import ModelConfig
+    from vidmat.eval import VideoEval
+    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.pipeline.stepper import ImageStepper
+    from vidmat.train.data import alpha_to_trimap
+
+    cfgs = {
+        "synthetic_demo": ModelConfig(),
+        "fast_demo": ModelConfig(space_to_depth=2),
+        "trimap_demo": ModelConfig(recurrent=False, use_trimap=True),
+    }
+    cfg = cfgs[name]
+    variables = load_checkpoint(os.path.join(REPO, "checkpoints", name),
+                                template=init_params(cfg))
+    ev = VideoEval(metrics=("mad", "mse", "sad", "grad", "conn", "dtssd"))
+    for seed in HELD_OUT_SEEDS:
+        if cfg.use_trimap:
+            # Trimap protocol: the trimap is an input, derived from gt
+            # alpha per frame (the PR1 image rung; model is non-recurrent).
+            stepper = ImageStepper(cfg, variables=variables)
+            for frame, gt in synthetic_clip(h, w, frames, seed=seed):
+                alpha, _ = stepper(frame, alpha_to_trimap(gt[..., 0]))
+                ev.update(alpha, gt)
+        else:
+            sess = MattingSession(h, w, model_cfg=cfg, variables=variables)
+            for frame, gt in synthetic_clip(h, w, frames, seed=seed):
+                alpha, _ = sess.step(frame)
+                ev.update(alpha, gt)
+        ev.reset_temporal()  # don't score the clip-boundary cut
+    return ev.summary()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true",
+                    help="write docs/QUALITY.md")
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--size", default="96x96")
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.size.split("x"))
+
+    rows = []
+    for name in ("synthetic_demo", "fast_demo", "trimap_demo"):
+        if not os.path.isdir(os.path.join(REPO, "checkpoints", name)):
+            print(f"skip {name}: checkpoint not present", file=sys.stderr)
+            continue
+        s = eval_checkpoint(name, frames=args.frames, h=h, w=w)
+        rows.append((name, s))
+        print(name, json.dumps(s))
+
+    header = (
+        "# Shipped-checkpoint quality (vidmat.eval, literature units)\n\n"
+        f"Held-out synthetic clips (seeds {HELD_OUT_SEEDS}, "
+        f"{len(HELD_OUT_SEEDS)}×{args.frames} frames @ {h}×{w}; "
+        "fixture protocol of tests/integration/test_quality.py). "
+        "Units: MAD/MSE ×1e3, SAD/Grad/Conn /1e3, dtSSD ×1e2 — "
+        "lower is better everywhere. Regenerate: "
+        "`python tools/quality_report.py --write`.\n\n"
+        "| checkpoint | model | MAD | MSE | SAD | Grad | Conn | dtSSD |\n"
+        "|---|---|---|---|---|---|---|---|\n")
+    desc = {"synthetic_demo": "base (s2d=1, recurrent)",
+            "fast_demo": "serving (s2d=2, recurrent)",
+            "trimap_demo": "trimap-conditioned (PR1, non-recurrent)"}
+    lines = []
+    for name, s in rows:
+        dt = f"{s['dtssd']:.2f}" if "dtssd" in s else "—"
+        lines.append(
+            f"| `{name}` | {desc[name]} | {s['mad']:.2f} | {s['mse']:.3f} "
+            f"| {s['sad']:.3f} | {s['grad']:.3f} | {s['conn']:.4f} "
+            f"| {dt} |")
+    text = header + "\n".join(lines) + "\n"
+    print("\n" + text)
+    if args.write:
+        out = os.path.join(REPO, "docs", "QUALITY.md")
+        with open(out, "w") as f:
+            f.write(text)
+        print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

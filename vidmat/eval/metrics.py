@@ -207,6 +207,11 @@ class VideoEval:
         self.frames: List[Dict[str, float]] = []
         self._prev: Optional[tuple] = None
 
+    def reset_temporal(self) -> None:
+        """Break the dtSSD frame chain (call between clips / scene cuts so
+        the transition across the boundary is not scored)."""
+        self._prev = None
+
     @staticmethod
     def _canon(a: np.ndarray) -> np.ndarray:
         a = np.asarray(a)
