@@ -42,4 +42,8 @@ def __getattr__(name):
         from vidmat.models.matting_net import MattingNetwork
 
         return MattingNetwork
+    if name == "RealtimeMatting":
+        from vidmat.pipeline.realtime import RealtimeMatting
+
+        return RealtimeMatting
     raise AttributeError(name)

@@ -146,6 +146,30 @@ def _add_train(sub):
                    "compositing (default: solid random colors)")
 
 
+def _add_live(sub):
+    p = sub.add_parser(
+        "live",
+        help="real-time matting with latest-wins frame dropping "
+             "(camera index or file simulated as a live feed)")
+    p.add_argument("source", help="camera index (e.g. 0) or video path / "
+                                  "image-sequence dir")
+    p.add_argument("--height", type=int, default=None,
+                   help="serving height (default: probe the source; "
+                        "rounded to /16)")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--output-alpha")
+    p.add_argument("--output-composition")
+    p.add_argument("--bg-color", default="0,1,0")
+    p.add_argument("--pace-fps", type=float, default=None,
+                   help="producer pacing for file sources (default: the "
+                        "file's native fps; cameras are naturally paced)")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--downsample-ratio", type=float, default=None)
+    p.add_argument("--checkpoint")
+    p.add_argument("--static-skip-eps", type=float, default=None,
+                   help="static-scene fast path (see `video`)")
+
+
 def _add_evaluate(sub):
     p = sub.add_parser(
         "evaluate",
@@ -177,6 +201,7 @@ def main(argv=None) -> int:
     _add_export(sub)
     _add_bundle_video(sub)
     _add_train(sub)
+    _add_live(sub)
     _add_evaluate(sub)
     args = parser.parse_args(argv)
 
@@ -374,6 +399,56 @@ def main(argv=None) -> int:
         state = train_on_clips(cfg, data, num_steps=args.steps, lr=args.lr)
         save_checkpoint(args.out, state.variables)
         print(f"saved checkpoint to {args.out}")
+        return 0
+
+    if args.cmd == "live":
+        from vidmat.models.weights import load_checkpoint
+        from vidmat.pipeline.realtime import RealtimeMatting
+        from vidmat.pipeline.video import auto_downsample_ratio
+
+        src = args.source
+        h, w, fps, pace = args.height, args.width, None, args.pace_fps
+        if src.isdigit():
+            import cv2
+
+            cap = cv2.VideoCapture(int(src))
+            if cap.isOpened():
+                h = h or int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or None
+                w = w or int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or None
+                fps = cap.get(cv2.CAP_PROP_FPS) or None
+            cap.release()
+        else:
+            from vidmat.io.reader import VideoReader, image_sequence
+
+            seq = image_sequence(src)
+            if seq is not None:
+                first = next(seq, None)
+                if first is not None:
+                    h = h or first.shape[0]
+                    w = w or first.shape[1]
+            else:
+                r = VideoReader(src)
+                h, w, fps = h or r.height, w or r.width, r.fps
+                r.close()
+            if pace is None:
+                pace = fps or 30.0  # files must be paced to act live
+        if not h or not w:
+            print("error: could not probe the source size; pass "
+                  "--height/--width", file=sys.stderr)
+            return 1
+        variables = (load_checkpoint(args.checkpoint)
+                     if args.checkpoint else None)
+        ratio = (args.downsample_ratio if args.downsample_ratio
+                 is not None else auto_downsample_ratio(h, w))
+        rt = RealtimeMatting(
+            h, w, variables=variables, downsample_ratio=ratio,
+            static_skip_eps=args.static_skip_eps,
+            bg_color=tuple(float(x) for x in args.bg_color.split(",")))
+        stats = rt.run(src, output_alpha=args.output_alpha,
+                       output_composition=args.output_composition,
+                       pace_fps=pace, max_frames=args.max_frames,
+                       fps_hint=fps or pace or 30.0)
+        print(json.dumps(stats))
         return 0
 
     if args.cmd == "evaluate":

@@ -158,11 +158,20 @@ class VideoStepper:
                              ).astype(np.uint8)
         return jnp.asarray(frame)[None]
 
+    def step_device(self, frame: np.ndarray) -> Tuple[jnp.ndarray,
+                                                      jnp.ndarray]:
+        """Like :meth:`step` but returns DEVICE arrays ((1, H, W, 1) alpha,
+        (1, H, W, 3) fgr, float32) with no D2H — callers that post-process
+        on device (e.g. the realtime driver's composite) avoid a
+        round-trip."""
+        (alpha, fgr), self.state = self._step(
+            self.variables, self._device_frame(frame), self.state)
+        return alpha, fgr
+
     def step(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """frame: (H, W, 3) uint8 or float RGB. Returns host alpha, fgr
         (float32 in [0, 1])."""
-        (alpha, fgr), self.state = self._step(
-            self.variables, self._device_frame(frame), self.state)
+        alpha, fgr = self.step_device(frame)
         return np.asarray(alpha)[0], np.asarray(fgr)[0]
 
     # -- mid-video resume (SURVEY.md §5 checkpoint/resume: the pipeline
