@@ -466,3 +466,63 @@ def test_cli_video_bg_blur_flag(tmp_path):
         n += 1
     cap.release()
     assert n == 3
+
+
+def test_framesource_trim_start_and_count():
+    from vidmat.io.reader import FrameSource
+
+    frames = [np.full((4, 4, 3), i, np.uint8) for i in range(10)]
+    got = [int(f[0, 0, 0]) for f in FrameSource(frames, start=3, count=4)]
+    assert got == [3, 4, 5, 6]
+    # start beyond the stream -> empty, no hang
+    assert list(FrameSource(frames, start=99)) == []
+    # count=0 -> empty
+    assert list(FrameSource(frames, count=0)) == []
+    with pytest.raises(ValueError):
+        FrameSource(frames, start=-1)
+
+
+def test_convert_video_trim_range(tmp_path):
+    """start_frame/max_frames trim the input; the trimmed run equals a
+    full-pipeline run over the pre-sliced frame list (trim-then-matte:
+    temporal state starts cold at the trim point)."""
+    frames = list(synthetic_frames_only(96, 128, 10))
+    a_trim = str(tmp_path / "trim_%03d.png")
+    a_ref = str(tmp_path / "ref_%03d.png")
+    m = vidmat.convert_video(frames, output_alpha=a_trim,
+                             downsample_ratio=1.0,
+                             start_frame=3, max_frames=4)
+    assert m["frames"] == 4
+    vidmat.convert_video(frames[3:7], output_alpha=a_ref,
+                         downsample_ratio=1.0)
+    import imageio.v3 as iio
+
+    for i in range(4):
+        t = iio.imread(a_trim % i)
+        r = iio.imread(a_ref % i)
+        np.testing.assert_array_equal(t, r)
+
+
+def test_cli_video_trim_flags(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    from vidmat.io.writer import VideoWriter
+
+    src = str(tmp_path / "in.mp4")
+    w = VideoWriter(src, fps=10)
+    for f in synthetic_frames_only(96, 128, 8):
+        w.write(f)
+    w.close()
+    out = subprocess.run(
+        [sys.executable, "-m", "vidmat.cli", "video", src,
+         "--output-alpha", str(tmp_path / "a.mp4"),
+         "--downsample-ratio", "1.0",
+         "--start-frame", "2", "--max-frames", "3"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["frames"] == 3

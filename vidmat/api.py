@@ -54,7 +54,9 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   model_cfg: Optional[ModelConfig] = None,
                   pipe_cfg: Optional[PipelineConfig] = None,
                   refiner_variables=None,
-                  progress: bool = False) -> dict:
+                  progress: bool = False,
+                  start_frame: int = 0,
+                  max_frames: Optional[int] = None) -> dict:
     """Convert a video to alpha / foreground / composited streams.
 
     input_source: path to a video file, or an iterator of (H, W, 3) uint8
@@ -75,6 +77,10 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         every other bg option.
     downsample_ratio: coarse-pass scale; None = auto from resolution
         (BASELINE.json:10).
+    start_frame / max_frames: trim the input — skip the first
+        ``start_frame`` frames (exact sequential skip) and convert at
+        most ``max_frames``. Temporal state starts cold at the trim
+        point (trim-then-matte semantics).
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
     """
     from vidmat.pipeline.video import VideoPipeline
@@ -93,7 +99,8 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
     return pipeline.run(input_source, output_alpha=output_alpha,
                         output_foreground=output_foreground,
                         output_composition=output_composition,
-                        progress=progress)
+                        progress=progress, start_frame=start_frame,
+                        max_frames=max_frames)
 
 
 class MattingSession:

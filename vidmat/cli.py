@@ -44,6 +44,11 @@ def _add_video(sub):
     p.add_argument("--preset", choices=["clip_480p", "video_1080p",
                                         "video_4k"], default=None)
     p.add_argument("--checkpoint", help="orbax checkpoint dir")
+    p.add_argument("--start-frame", type=int, default=0,
+                   help="skip the first N input frames (exact "
+                        "sequential skip)")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="convert at most N frames")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="trace N steady-state frames with jax.profiler")
     p.add_argument("--progress", action="store_true")
@@ -234,7 +239,8 @@ def main(argv=None) -> int:
                 bg_video=args.bg_video, bg_blur=args.bg_blur,
                 downsample_ratio=args.downsample_ratio,
                 variables=variables, model_cfg=model_cfg,
-                pipe_cfg=pipe_cfg, progress=args.progress)
+                pipe_cfg=pipe_cfg, progress=args.progress,
+                start_frame=args.start_frame, max_frames=args.max_frames)
         print(json.dumps(metrics))
         return 0
 

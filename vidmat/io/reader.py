@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, Union
+from typing import Iterable, Iterator, Optional, Union
 
 import numpy as np
 
@@ -121,12 +121,17 @@ class FrameSource:
 
     ``fault_hook`` (testing): callable(frame_idx, frame) -> frame | raise;
     used to inject decode faults (SURVEY.md §5 fault injection).
+
+    ``start``/``count`` trim the stream: the first ``start`` frames are
+    decoded but not delivered (sequential skip — exact, unlike container
+    keyframe seeking), and delivery stops after ``count`` frames.
     """
 
     _END = object()
 
     def __init__(self, frames: Union[str, Iterable[np.ndarray]],
-                 prefetch: int = 8, fault_hook=None):
+                 prefetch: int = 8, fault_hook=None,
+                 start: int = 0, count: Optional[int] = None):
         if isinstance(frames, str):
             seq = image_sequence(frames)
             if seq is not None:
@@ -142,12 +147,21 @@ class FrameSource:
         self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self.fault_hook = fault_hook
         self.dropped = 0
+        if start < 0 or (count is not None and count < 0):
+            raise ValueError("start/count must be non-negative")
+        self._start = start
+        self._count = count
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
     def _produce(self) -> None:
+        delivered = 0
         try:
             for i, frame in enumerate(self.frames):
+                if i < self._start:
+                    continue
+                if self._count is not None and delivered >= self._count:
+                    break
                 if self.fault_hook is not None:
                     try:
                         frame = self.fault_hook(i, frame)
@@ -155,6 +169,7 @@ class FrameSource:
                         self.dropped += 1
                         continue  # skip corrupt frame, keep stream alive
                 self.q.put(frame)
+                delivered += 1
         finally:
             self.q.put(self._END)
 

@@ -301,8 +301,11 @@ class VideoPipeline:
             output_alpha: Optional[str] = None,
             output_foreground: Optional[str] = None,
             output_composition: Optional[str] = None,
-            progress: bool = False) -> dict:
-        source = FrameSource(input_source)
+            progress: bool = False,
+            start_frame: int = 0,
+            max_frames: Optional[int] = None) -> dict:
+        source = FrameSource(input_source, start=start_frame,
+                             count=max_frames)
         metrics = RunMetrics()
         writers = {}
         step = None
