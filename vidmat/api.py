@@ -56,7 +56,9 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   refiner_variables=None,
                   progress: bool = False,
                   start_frame: int = 0,
-                  max_frames: Optional[int] = None) -> dict:
+                  max_frames: Optional[int] = None,
+                  trimap_source: Union[str, Iterable[np.ndarray],
+                                       None] = None) -> dict:
     """Convert a video to alpha / foreground / composited streams.
 
     input_source: path to a video file, or an iterator of (H, W, 3) uint8
@@ -81,10 +83,22 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         ``start_frame`` frames (exact sequential skip) and convert at
         most ``max_frames``. Temporal state starts cold at the trim
         point (trim-then-matte semantics).
+    trimap_source: per-frame trimaps for trimap-conditioned video
+        matting (the DIM-lineage family, video rung) — a video path,
+        PNG dir/pattern, or frame iterable consumed in lockstep with
+        the input (trimmed identically under start_frame/max_frames).
+        Values: uint8 {0, 128, 255} or float {0, 0.5, 1} = bg/unknown/
+        fg; the matte is clamped to the trimap's definite regions. With
+        ``model_cfg=None`` this selects the shipped trimap-conditioned
+        config/weights (use_trimap=True, recurrent=False — each frame
+        gets its own trimap, so per-frame inference is the family's
+        temporal model; checkpoints/trimap_demo).
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
     """
     from vidmat.pipeline.video import VideoPipeline
 
+    if model_cfg is None and trimap_source is not None:
+        model_cfg = ModelConfig(use_trimap=True, recurrent=False)
     pipeline = VideoPipeline(
         model_cfg=model_cfg or ModelConfig(),
         pipe_cfg=pipe_cfg,
@@ -100,7 +114,8 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                         output_foreground=output_foreground,
                         output_composition=output_composition,
                         progress=progress, start_frame=start_frame,
-                        max_frames=max_frames)
+                        max_frames=max_frames,
+                        trimap_source=trimap_source)
 
 
 class MattingSession:
@@ -126,8 +141,12 @@ class MattingSession:
             # the net on unchanged frames, ~2x measured on static content
             static_skip_eps=static_skip_eps)
 
-    def step(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        return self._stepper.step(frame)
+    def step(self, frame: np.ndarray,
+             trimap: Optional[np.ndarray] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """trimap: per-frame trimap ((H, W) uint8 {0,128,255} or float
+        {0,0.5,1}) — required iff the session's model_cfg.use_trimap."""
+        return self._stepper.step(frame, trimap)
 
     def reset(self) -> None:
         """Reset temporal state (scene cut / new stream)."""

@@ -44,6 +44,10 @@ def _add_video(sub):
     p.add_argument("--preset", choices=["clip_480p", "video_1080p",
                                         "video_4k"], default=None)
     p.add_argument("--checkpoint", help="orbax checkpoint dir")
+    p.add_argument("--trimap", default=None, metavar="SOURCE",
+                   help="per-frame trimap stream (video / PNG dir or "
+                        "pattern) for trimap-conditioned matting; "
+                        "values {0,128,255} = bg/unknown/fg")
     p.add_argument("--start-frame", type=int, default=0,
                    help="skip the first N input frames (exact "
                         "sequential skip)")
@@ -240,7 +244,8 @@ def main(argv=None) -> int:
                 downsample_ratio=args.downsample_ratio,
                 variables=variables, model_cfg=model_cfg,
                 pipe_cfg=pipe_cfg, progress=args.progress,
-                start_frame=args.start_frame, max_frames=args.max_frames)
+                start_frame=args.start_frame, max_frames=args.max_frames,
+                trimap_source=args.trimap)
         print(json.dumps(metrics))
         return 0
 

@@ -52,12 +52,15 @@ def have_native() -> bool:
 
 def pad_stack(frames: List[np.ndarray], out_h: int, out_w: int,
               threads: int = 0) -> np.ndarray:
-    """Edge-pad + stack S frames into a contiguous (S, out_h, out_w, 3)
-    uint8 batch. Native threaded path when available."""
+    """Edge-pad + stack S frames into a contiguous (S, out_h, out_w, C)
+    uint8 batch. Native threaded path when available (3-channel frames —
+    the serving hot case; 4-channel trimap-conditioned frames take the
+    numpy path)."""
+    c = frames[0].shape[-1]
     mod = _load()
-    if mod is not None:
+    if mod is not None and c == 3:
         return mod.pad_stack(frames, out_h, out_w, threads)
-    out = np.empty((len(frames), out_h, out_w, 3), np.uint8)
+    out = np.empty((len(frames), out_h, out_w, c), np.uint8)
     for i, f in enumerate(frames):
         ph, pw = out_h - f.shape[0], out_w - f.shape[1]
         out[i] = np.pad(f, ((0, ph), (0, pw), (0, 0)), mode="edge")

@@ -93,12 +93,17 @@ def _frame_iter(source: Union[int, str, Iterable[np.ndarray]]):
             raise RuntimeError(f"cannot open camera {source}")
 
         def gen():
-            while True:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            cap.release()
+            # try/finally: the consumer may abandon the generator early
+            # (max_frames / stop event) — GeneratorExit must still release
+            # the capture device.
+            try:
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            finally:
+                cap.release()
 
         return gen()
     if isinstance(source, str):

@@ -161,6 +161,11 @@ def build_serving_body(
     Returns (body, plan) where
       body(variables, frame_u8 (N,h,w,3) uint8, state[, bg_frame])
         -> (outs, new_state)
+      With model_cfg.use_trimap the frame is (N,h,w,4) uint8: RGB plus
+      the trimap byte ({0, 128, 255} = bg/unknown/fg, normalized /255 on
+      device with the RGB — the same semantics ImageStepper applies to a
+      uint8 trimap). The net consumes all 4 channels; the guide, tails,
+      and composite see RGB only.
       outs = (N,h,w) uint8 alpha          if plan.alpha_only
            | (N,h,w) uint32 packed RGBA   if plan.packed
            | (alpha_u8 (N,h,w,1), fgr_u8 (N,h,w,3), rgba (N,h,w,4))
@@ -276,8 +281,10 @@ def build_serving_body(
 
         def bg_from_x(x):
             """(N, net_h, net_w, 3) [0,1] coarse background: box blur of
-            the already-ingested (already [0,1]-normalized) frame."""
-            return box_blur(x.astype(jnp.float32), blur_rc)
+            the already-ingested (already [0,1]-normalized) frame (RGB
+            channels only — trimap-conditioned frames carry a 4th
+            channel)."""
+            return box_blur(x[..., :3].astype(jnp.float32), blur_rc)
 
     def make_state(batch: int):
         if use_static_skip:
@@ -355,7 +362,10 @@ def build_serving_body(
         from vidmat.ops.guided_filter import gray_guide
         from vidmat.ops.pallas.gf_kernel import guided_filter_coeffs
 
-        guide = gray_guide(x.astype(jnp.float32))
+        # x[..., :3]: the guide is built from the RGB channels only (a
+        # no-op slice for 3-channel frames; trimap-conditioned serving
+        # carries the trimap as a 4th channel for the net).
+        guide = gray_guide(x[..., :3].astype(jnp.float32))
         p = jnp.concatenate([alpha, fgr], axis=-1)
         if fused_tiled:
             from vidmat.refine.tiling import (TileLayout, tile_frame,
@@ -391,7 +401,11 @@ def build_serving_body(
     def fused_stage1(frame_u8, ma, mb, bgv):
         from vidmat.ops.pallas.refine_kernel import fused_refine_composite
 
-        return fused_refine_composite(frame_u8, ma, mb, bgv, pool=pool,
+        # The full-res guide/composite base is RGB; trimap-conditioned
+        # frames carry a 4th channel the tail must not see (the slice is
+        # an identity for 3-channel frames).
+        return fused_refine_composite(frame_u8[..., :3], ma, mb, bgv,
+                                      pool=pool,
                                       interpret=pallas_interpret)
 
     use_alpha_only = alpha_only and use_packed
@@ -411,9 +425,10 @@ def build_serving_body(
                 ma, mb = s0
             out = fused_stage1(frame_u8, ma, mb, bgv)
             return (alpha_byte(out) if use_alpha_only else out), new_state
-        # float frame for the guided/errormap/bilinear tails below.
-        frame = (frame_u8.astype(jnp.float32) if float_frames
-                 else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
+        # float RGB frame for the guided/errormap/bilinear tails below
+        # (trimap-conditioned frames carry a 4th channel for the net only).
+        frame = (frame_u8[..., :3].astype(jnp.float32) if float_frames
+                 else frame_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0))
         x, alpha, fgr, new_state = coarse_forward(variables, frame_u8, state)
         if use_bg_blur:
             # Unfused tails composite at full res in XLA: same coarse
@@ -425,7 +440,7 @@ def build_serving_body(
                 from vidmat.ops.pallas.refine_kernel import fused_refine_float
 
                 ma, mb = fused_coeffs(x, alpha, fgr, frame_u8.shape[0])
-                alpha, fgr = fused_refine_float(frame_u8, ma, mb,
+                alpha, fgr = fused_refine_float(frame_u8[..., :3], ma, mb,
                                                 pool=pool,
                                                 interpret=pallas_interpret)
             elif refine.mode == "guided" and tile_size and pool:
@@ -444,7 +459,7 @@ def build_serving_body(
                     refine.guided_eps, impl=gf_impl,
                     interpret=pallas_interpret)
             elif refine.mode == "errormap" and refiner is not None:
-                x32 = x.astype(jnp.float32)
+                x32 = x[..., :3].astype(jnp.float32)
                 alpha, _err = refiner[0].apply(refiner[1], frame, x32, alpha)
                 fgr = resize_bilinear(fgr, h, w)
             else:
@@ -517,7 +532,8 @@ def build_serving_body(
         else:  # use_float_tail: full-res float alpha/fgr, shared packaging
             from vidmat.ops.pallas.refine_kernel import fused_refine_float
 
-            alpha, fgr = fused_refine_float(frame_u8, ma, mb, pool=pool,
+            alpha, fgr = fused_refine_float(frame_u8[..., :3], ma, mb,
+                                            pool=pool,
                                             interpret=pallas_interpret)
             out = finish_float(alpha, fgr, bgv)
         skips = skips + (1 - changed.astype(jnp.int32))

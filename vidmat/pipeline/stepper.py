@@ -150,7 +150,30 @@ class VideoStepper:
     def reset(self) -> None:
         self.state = self._plan.make_state(1)
 
-    def _device_frame(self, frame: np.ndarray) -> jnp.ndarray:
+    def _device_frame(self, frame: np.ndarray,
+                      trimap: Optional[np.ndarray] = None) -> jnp.ndarray:
+        if self.cfg.use_trimap:
+            if trimap is None:
+                raise ValueError("model config requires a per-frame "
+                                 "trimap input (step(frame, trimap=...))")
+            tri = np.asarray(trimap)
+            if tri.ndim == 3:
+                tri = tri[..., 0]
+            if tri.shape != frame.shape[:2]:
+                raise ValueError(f"trimap is {tri.shape}, frame is "
+                                 f"{frame.shape[:2]}")
+            # 4th channel in the frame's dtype convention (the whole
+            # stacked frame is normalized /255 or passed through as one).
+            if frame.dtype == np.uint8:
+                if tri.dtype != np.uint8:
+                    tri = np.round(np.clip(tri.astype(np.float32), 0, 1)
+                                   * 255.0).astype(np.uint8)
+            else:
+                if tri.dtype == np.uint8:
+                    tri = tri.astype(np.float32) / 255.0
+                tri = tri.astype(frame.dtype)
+            frame = np.concatenate([np.asarray(frame), tri[..., None]],
+                                   axis=-1)
         if self._parity:
             return jnp.asarray(to_float_rgb(frame))[None]
         if frame.dtype != np.uint8:
@@ -158,20 +181,24 @@ class VideoStepper:
                              ).astype(np.uint8)
         return jnp.asarray(frame)[None]
 
-    def step_device(self, frame: np.ndarray) -> Tuple[jnp.ndarray,
-                                                      jnp.ndarray]:
+    def step_device(self, frame: np.ndarray,
+                    trimap: Optional[np.ndarray] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Like :meth:`step` but returns DEVICE arrays ((1, H, W, 1) alpha,
         (1, H, W, 3) fgr, float32) with no D2H — callers that post-process
         on device (e.g. the realtime driver's composite) avoid a
         round-trip."""
         (alpha, fgr), self.state = self._step(
-            self.variables, self._device_frame(frame), self.state)
+            self.variables, self._device_frame(frame, trimap), self.state)
         return alpha, fgr
 
-    def step(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """frame: (H, W, 3) uint8 or float RGB. Returns host alpha, fgr
-        (float32 in [0, 1])."""
-        alpha, fgr = self.step_device(frame)
+    def step(self, frame: np.ndarray,
+             trimap: Optional[np.ndarray] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """frame: (H, W, 3) uint8 or float RGB; trimap (trimap-conditioned
+        configs): (H, W) uint8 {0,128,255} or float {0,0.5,1}. Returns
+        host alpha, fgr (float32 in [0, 1])."""
+        alpha, fgr = self.step_device(frame, trimap)
         return np.asarray(alpha)[0], np.asarray(fgr)[0]
 
     # -- mid-video resume (SURVEY.md §5 checkpoint/resume: the pipeline

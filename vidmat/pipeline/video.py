@@ -144,6 +144,29 @@ class _BgFrameSource:
         return f
 
 
+def _attach_trimap(frame: np.ndarray, tri: np.ndarray,
+                   frame_idx: int) -> np.ndarray:
+    """Concatenate a per-frame trimap as the 4th uint8 channel.
+
+    Accepts (H, W) / (H, W, 1) / (H, W, 3) trimaps (a trimap stored as a
+    video decodes 3-channel; the first channel is taken), uint8
+    {0, 128, 255} or float {0, 0.5, 1}. Device normalization is /255 with
+    the RGB channels — the same semantics ImageStepper applies to a uint8
+    trimap (pipeline/stepper.py to_float_rgb)."""
+    tri = np.asarray(tri)
+    if tri.ndim == 3:
+        tri = tri[..., 0]
+    if tri.shape != frame.shape[:2]:
+        raise ValueError(
+            f"trimap frame {frame_idx} is {tri.shape}, input frame is "
+            f"{frame.shape[:2]} — trimap_source must match the input "
+            "resolution frame-for-frame")
+    if tri.dtype != np.uint8:
+        tri = np.round(np.clip(tri.astype(np.float32), 0.0, 1.0)
+                       * 255.0).astype(np.uint8)
+    return np.concatenate([frame, tri[..., None]], axis=-1)
+
+
 class VideoPipeline:
     """End-to-end video matting (BASELINE.json:8-10 rungs)."""
 
@@ -303,9 +326,28 @@ class VideoPipeline:
             output_composition: Optional[str] = None,
             progress: bool = False,
             start_frame: int = 0,
-            max_frames: Optional[int] = None) -> dict:
+            max_frames: Optional[int] = None,
+            trimap_source: Union[str, Iterable[np.ndarray], None] = None,
+            ) -> dict:
+        if self.model_cfg.use_trimap and trimap_source is None:
+            raise ValueError(
+                "model_cfg.use_trimap=True needs per-frame trimaps: pass "
+                "trimap_source=<video path / PNG dir-or-pattern / frame "
+                "iterable> consumed in lockstep with the input")
+        if trimap_source is not None and not self.model_cfg.use_trimap:
+            raise ValueError(
+                "trimap_source given but the model is not trimap-"
+                "conditioned — build with "
+                "ModelConfig(use_trimap=True, recurrent=False) (the "
+                "shipped trimap_demo config), or drop trimap_source")
         source = FrameSource(input_source, start=start_frame,
                              count=max_frames)
+        tri_iter = None
+        if trimap_source is not None:
+            # The trimap stream is trimmed identically to the input so
+            # frame i always pairs with trimap i.
+            tri_iter = iter(FrameSource(trimap_source, start=start_frame,
+                                        count=max_frames))
         metrics = RunMetrics()
         writers = {}
         step = None
@@ -344,6 +386,14 @@ class VideoPipeline:
         chunk_buf = []
         t_prev = time.perf_counter()
         for frame in source:
+            if tri_iter is not None:
+                tri = next(tri_iter, None)
+                if tri is None:
+                    raise ValueError(
+                        f"trimap stream ended at frame {n} but the input "
+                        "continues — trimap_source must cover every "
+                        "converted frame")
+                frame = _attach_trimap(frame, tri, n)
             if step is None:
                 fh, fw = frame.shape[:2]
                 # Ratio resolution order: explicit constructor arg >
