@@ -187,3 +187,40 @@ def test_bundle_bg_blur_matches_live(tmp_path):
                                       np.asarray(alpha_u8)[0, :H, :W, 0])
         np.testing.assert_array_equal(out["comp"],
                                       np.asarray(rgba)[0, :H, :W])
+
+
+def test_trimap_bundle(tmp_path):
+    """Trimap-conditioned bundles: 4-channel input contract, step(frame,
+    trimap=...) matches the live ImageStepper family (recurrent=False)."""
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.pipeline.stepper import ImageStepper
+    from vidmat.train.data import alpha_to_trimap
+
+    cfg = ModelConfig(use_trimap=True, recurrent=False)
+    pipe = PipelineConfig(downsample_ratio=1.0, dtype="float32")
+    v = init_params(cfg, seed=5)
+    path = str(tmp_path / "tb")
+    export_bundle(path, H, W, model_cfg=cfg, pipe_cfg=pipe, variables=v,
+                  bg_color=(0.0, 0.0, 1.0))
+    bundle = ServingBundle(path)
+
+    frame, gt = synthetic_frame(H, W, 0.3, seed=17)
+    tri = np.round(alpha_to_trimap(gt)[..., 0] * 255).astype(np.uint8)
+    out = bundle.step(frame, trimap=tri)
+    stepper = ImageStepper(cfg, variables=v)
+    alpha_live, _ = stepper(frame, tri)
+    a_live8 = np.round(alpha_live[..., 0] * 255).astype(int)
+    assert np.abs(out["alpha"].astype(int) - a_live8).max() <= 1
+
+    with pytest.raises(ValueError, match="trimap"):
+        bundle.step(frame)  # 3-channel frame on a 4-channel bundle
+
+    # a non-trimap bundle must refuse a trimap
+    cfg3 = ModelConfig()
+    p3 = str(tmp_path / "b3")
+    export_bundle(p3, H, W, model_cfg=cfg3, pipe_cfg=PipelineConfig(
+        downsample_ratio=0.5, dtype="bfloat16"),
+        variables=init_params(cfg3, seed=2), bg_color=(0, 0, 1))
+    b3 = ServingBundle(p3)
+    with pytest.raises(ValueError, match="not trimap-conditioned"):
+        b3.step(frame, trimap=tri)

@@ -29,8 +29,13 @@ if "--platform" not in " ".join(sys.argv):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
-def evaluate(cfg, variables) -> float:
-    """Held-out mean MAD — mirrors test_fast_s2d_checkpoint_quality."""
+def evaluate(cfg, variables, trimap_mode: str = "off") -> float:
+    """Held-out mean MAD — mirrors test_fast_s2d_checkpoint_quality.
+
+    trimap_mode "keyframe"/"mixed": the trimap is given on frame 0 only
+    (derived from gt), neutral 0.5 afterwards — scoring exactly the
+    propagation capability; "perframe": every frame gets its trimap.
+    """
     import numpy as np
 
     from vidmat.api import MattingSession
@@ -38,9 +43,45 @@ def evaluate(cfg, variables) -> float:
     from vidmat.utils.metrics import mad
 
     sess = MattingSession(160, 160, variables=variables, model_cfg=cfg)
-    mads = [mad(sess.step(f)[0], gt)
-            for f, gt in synthetic_clip(160, 160, 6, seed=987654)]
+    mads = []
+    for i, (f, gt) in enumerate(synthetic_clip(160, 160, 6, seed=987654)):
+        if trimap_mode == "off":
+            tri = None
+        else:
+            from vidmat.train.data import alpha_to_trimap
+
+            neutral = np.full(gt.shape[:2], 0.5, np.float32)
+            tri = (alpha_to_trimap(gt)[..., 0]
+                   if (i == 0 or trimap_mode == "perframe") else neutral)
+        mads.append(mad(sess.step(f, trimap=tri)[0], gt))
     return float(np.mean(mads))
+
+
+def evaluate_ambiguous(cfg, variables) -> dict:
+    """Held-out twin-disk PROPAGATION score: keyframe trimap on frame 0,
+    neutral after. Reports keyframe-mode MAD (should be low), neutral-mode
+    MAD (irreducibly high — no hint), and their ratio: the measured value
+    of the propagated annotation."""
+    import numpy as np
+
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import synthetic_ambiguous_clip
+    from vidmat.train.data import alpha_to_trimap
+    from vidmat.utils.metrics import mad
+
+    out = {}
+    for mode in ("keyframe", "neutral"):
+        sess = MattingSession(160, 160, variables=variables, model_cfg=cfg)
+        mads = []
+        for i, (f, gt) in enumerate(
+                synthetic_ambiguous_clip(160, 160, 6, seed=24680,
+                                         target=1)):
+            tri = (alpha_to_trimap(gt)[..., 0]
+                   if (i == 0 and mode == "keyframe") else None)
+            mads.append(mad(sess.step(f, trimap=tri)[0], gt))
+        out[mode] = float(np.mean(mads))
+    out["gain"] = out["neutral"] / max(out["keyframe"], 1e-6)
+    return out
 
 
 def main():
@@ -65,6 +106,17 @@ def main():
                     help="checkpoint to fine-tune from")
     ap.add_argument("--laplacian", type=float, default=0.0,
                     help="Laplacian-pyramid alpha loss weight")
+    ap.add_argument("--ambiguous", type=float, default=0.0,
+                    help="fraction of trimap batches drawn from the "
+                         "twin-disk AMBIGUOUS task (only the trimap says "
+                         "which twin is the subject) — the propagation "
+                         "teacher; reported as heldout_amb")
+    ap.add_argument("--trimap", default="off",
+                    choices=["off", "perframe", "keyframe", "mixed"],
+                    help="train the trimap-conditioned RECURRENT family: "
+                         "'keyframe' gives the trimap on frame 0 only "
+                         "(propagation), 'mixed' alternates per-frame/"
+                         "keyframe batches, 'perframe' every frame")
     ap.add_argument("--out", default="checkpoints/fast_demo")
     ap.add_argument("--platform", default="cpu",
                     help="'cpu' (default) or '' to use the ambient "
@@ -85,7 +137,8 @@ def main():
     from vidmat.train.data import synthetic_clip_batches
     from vidmat.train.loop import TrainState, make_train_step
 
-    cfg = ModelConfig(space_to_depth=args.s2d)
+    cfg = ModelConfig(space_to_depth=args.s2d,
+                      use_trimap=args.trimap != "off")
     warmup = min(args.warmup, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup, args.steps, end_value=args.lr * 1e-2)
@@ -98,14 +151,44 @@ def main():
     if args.init_from:
         from vidmat.models.weights import load_checkpoint
 
-        variables = load_checkpoint(os.path.abspath(args.init_from),
-                                    template=variables)
+        src = load_checkpoint(os.path.abspath(args.init_from),
+                              template=variables)
+        stem = src["params"]["encoder"]["stem"]["conv"]["kernel"]
+        want = variables["params"]["encoder"]["stem"]["conv"]["kernel"]
+        if stem.shape != want.shape:
+            if args.trimap == "off":
+                raise SystemExit(
+                    f"--init-from stem is {stem.shape}, config needs "
+                    f"{want.shape} — wrong family")
+            # Transfer init for the trimap family: the checkpoint is a
+            # NON-trimap model (e.g. fast_demo) — graft it, zero-filling
+            # the trimap input taps (weights.graft_trimap_params). The
+            # grafted net starts bit-identical to the source on neutral
+            # trimaps instead of from scratch.
+            from vidmat.models.weights import graft_trimap_params
+
+            src = graft_trimap_params(src, cfg, seed=args.seed)
+            print(json.dumps({"init": "grafted non-trimap checkpoint "
+                                      + args.init_from}), flush=True)
+        variables = src
     state = TrainState(variables=variables, opt_state=opt.init(
         variables["params"]), step=0)
     sizes = args.sizes or [args.size]
-    iters = [synthetic_clip_batches(t=args.clip_len, n=args.batch,
-                                    h=s, w=s, seed=args.seed + 31 * k)
-             for k, s in enumerate(sizes)]
+    if args.trimap == "off":
+        iters = [synthetic_clip_batches(t=args.clip_len, n=args.batch,
+                                        h=s, w=s, seed=args.seed + 31 * k)
+                 for k, s in enumerate(sizes)]
+    else:
+        from vidmat.train.data import synthetic_trimap_batches
+
+        key_mode = {"perframe": "off", "keyframe": "only",
+                    "mixed": "mixed"}[args.trimap]
+        iters = [synthetic_trimap_batches(t=args.clip_len, n=args.batch,
+                                          h=s, w=s,
+                                          seed=args.seed + 31 * k,
+                                          keyframe=key_mode,
+                                          ambiguous=args.ambiguous)
+                 for k, s in enumerate(sizes)]
 
     def data():
         i = 0
@@ -120,16 +203,28 @@ def main():
             break
         state, metrics = step_fn(state, clips, gt_a, gt_f)
         if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
-            heldout = evaluate(cfg, state.variables)
-            print(json.dumps({
-                "step": i + 1, "loss": round(float(metrics["loss"]), 5),
-                "heldout_mad": round(heldout, 5),
-                "wall_s": round(time.time() - t0, 1)}), flush=True)
-            if heldout < best:
-                best = heldout
+            # keyframe/mixed ckpts are scored on PROPAGATION (trimap on
+            # frame 0 only) — the capability they exist to add.
+            heldout = evaluate(
+                cfg, state.variables,
+                trimap_mode=("keyframe" if args.trimap in
+                             ("keyframe", "mixed") else args.trimap))
+            rec = {"step": i + 1, "loss": round(float(metrics["loss"]), 5),
+                   "heldout_mad": round(heldout, 5)}
+            score = heldout
+            if args.ambiguous > 0:
+                amb = evaluate_ambiguous(cfg, state.variables)
+                rec["heldout_amb"] = {k: round(v, 5)
+                                      for k, v in amb.items()}
+                # selection balances both capabilities (same MAD units)
+                score = heldout + amb["keyframe"]
+            rec["wall_s"] = round(time.time() - t0, 1)
+            print(json.dumps(rec), flush=True)
+            if score < best:
+                best = score
                 save_checkpoint(os.path.abspath(args.out), state.variables)
-                print(f"saved {args.out} (mad {best:.5f})", flush=True)
-    print(json.dumps({"final_best_heldout_mad": round(best, 5)}))
+                print(f"saved {args.out} (score {best:.5f})", flush=True)
+    print(json.dumps({"final_best_score": round(best, 5)}))
 
 
 if __name__ == "__main__":

@@ -46,4 +46,8 @@ def __getattr__(name):
         from vidmat.pipeline.realtime import RealtimeMatting
 
         return RealtimeMatting
+    if name == "trimap_from_mask":
+        from vidmat.train.data import trimap_from_mask
+
+        return trimap_from_mask
     raise AttributeError(name)

@@ -83,22 +83,31 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         ``start_frame`` frames (exact sequential skip) and convert at
         most ``max_frames``. Temporal state starts cold at the trim
         point (trim-then-matte semantics).
-    trimap_source: per-frame trimaps for trimap-conditioned video
-        matting (the DIM-lineage family, video rung) — a video path,
-        PNG dir/pattern, or frame iterable consumed in lockstep with
-        the input (trimmed identically under start_frame/max_frames).
+    trimap_source: trimaps for trimap-conditioned video matting (the
+        DIM-lineage family). Two shapes:
+        - PER-FRAME: a video path, PNG dir/pattern, or frame iterable
+          consumed in lockstep with the input (trimmed identically
+          under start_frame/max_frames). With ``model_cfg=None`` this
+          selects the shipped per-frame config/weights (use_trimap=
+          True, recurrent=False; checkpoints/trimap_demo).
+        - KEYFRAME (propagation): a single image path or (H, W) array —
+          the trimap annotates the FIRST frame only and the recurrent
+          state carries the constraint forward over all-unknown
+          trimaps. With ``model_cfg=None`` this selects the shipped
+          propagation config/weights (use_trimap=True, recurrent=True,
+          space_to_depth=2; checkpoints/trimap_prop_demo). A per-frame
+          stream that ends early continues the same way.
         Values: uint8 {0, 128, 255} or float {0, 0.5, 1} = bg/unknown/
-        fg; the matte is clamped to the trimap's definite regions. With
-        ``model_cfg=None`` this selects the shipped trimap-conditioned
-        config/weights (use_trimap=True, recurrent=False — each frame
-        gets its own trimap, so per-frame inference is the family's
-        temporal model; checkpoints/trimap_demo).
+        fg; the matte is clamped to the trimap's definite regions.
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
     """
-    from vidmat.pipeline.video import VideoPipeline
+    from vidmat.pipeline.video import VideoPipeline, _single_trimap
 
     if model_cfg is None and trimap_source is not None:
-        model_cfg = ModelConfig(use_trimap=True, recurrent=False)
+        if _single_trimap(trimap_source) is not None:
+            model_cfg = ModelConfig(use_trimap=True, space_to_depth=2)
+        else:
+            model_cfg = ModelConfig(use_trimap=True, recurrent=False)
     pipeline = VideoPipeline(
         model_cfg=model_cfg or ModelConfig(),
         pipe_cfg=pipe_cfg,
@@ -144,8 +153,13 @@ class MattingSession:
     def step(self, frame: np.ndarray,
              trimap: Optional[np.ndarray] = None
              ) -> Tuple[np.ndarray, np.ndarray]:
-        """trimap: per-frame trimap ((H, W) uint8 {0,128,255} or float
-        {0,0.5,1}) — required iff the session's model_cfg.use_trimap."""
+        """trimap: ((H, W) uint8 {0,128,255} or float {0,0.5,1}) —
+        trimap-conditioned configs only. The non-recurrent per-frame
+        family (trimap_demo) requires one every step; the recurrent
+        propagation family (trimap_prop_demo: ModelConfig(use_trimap=
+        True, space_to_depth=2)) takes one on keyframes and rides
+        all-unknown (auto-filled when trimap=None) in between — the GRU
+        carries the constraint forward."""
         return self._stepper.step(frame, trimap)
 
     def reset(self) -> None:

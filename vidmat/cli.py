@@ -45,9 +45,11 @@ def _add_video(sub):
                                         "video_4k"], default=None)
     p.add_argument("--checkpoint", help="orbax checkpoint dir")
     p.add_argument("--trimap", default=None, metavar="SOURCE",
-                   help="per-frame trimap stream (video / PNG dir or "
-                        "pattern) for trimap-conditioned matting; "
-                        "values {0,128,255} = bg/unknown/fg")
+                   help="trimap-conditioned matting: a per-frame trimap "
+                        "stream (video / PNG dir or pattern), or a "
+                        "SINGLE image = keyframe propagation (the "
+                        "recurrent state carries the frame-0 annotation "
+                        "forward); values {0,128,255} = bg/unknown/fg")
     p.add_argument("--start-frame", type=int, default=0,
                    help="skip the first N input frames (exact "
                         "sequential skip)")

@@ -180,7 +180,10 @@ def export_bundle(out_dir: str, height: int, width: int, *,
 
     p_specs = [spec(l) for l in p_leaves]
     s_specs = [spec(l) for l in s_leaves]
-    f_spec = jax.ShapeDtypeStruct((1, ph, pw, 3), jnp.uint8)
+    # Trimap-conditioned bundles take (1, ph, pw, 4): RGB + trimap byte
+    # ({0,128,255}), same channel contract as the live serving body.
+    in_c = model_cfg.in_channels
+    f_spec = jax.ShapeDtypeStruct((1, ph, pw, in_c), jnp.uint8)
     exp = jax_export.export(jax.jit(flat_step))(p_specs, f_spec, s_specs)
 
     chunk_blob = None
@@ -203,7 +206,7 @@ def export_bundle(out_dir: str, height: int, width: int, *,
             outs, new_state = chunk_impl(vars_, frames_u8, st)
             return outs, jax.tree_util.tree_flatten(new_state)[0]
 
-        fk_spec = jax.ShapeDtypeStruct((k, 1, ph, pw, 3), jnp.uint8)
+        fk_spec = jax.ShapeDtypeStruct((k, 1, ph, pw, in_c), jnp.uint8)
         chunk_blob = jax_export.export(jax.jit(flat_chunk))(
             p_specs, fk_spec, s_specs).serialize()
 
@@ -292,16 +295,33 @@ class ServingBundle:
         self.h, self.w = m["height"], m["width"]
         self._ph, self._pw = m["padded_height"], m["padded_width"]
         self.chunk = m["chunk"]
+        self._in_c = (4 if m.get("model_cfg", {}).get("use_trimap")
+                      else 3)
 
     def reset(self) -> None:
         """Reset the temporal carry (scene cut / new stream)."""
         self._state = list(self._state0)
 
-    def _pad(self, frame: np.ndarray) -> np.ndarray:
-        if frame.shape[:2] != (self.h, self.w) or frame.shape[2] != 3:
+    def _pad(self, frame: np.ndarray,
+             trimap: Optional[np.ndarray] = None) -> np.ndarray:
+        if trimap is not None:
+            if self._in_c != 4:
+                raise ValueError("bundle is not trimap-conditioned")
+            tri = np.asarray(trimap)
+            if tri.ndim == 3:
+                tri = tri[..., 0]
+            if tri.dtype != np.uint8:
+                tri = np.round(np.clip(tri.astype(np.float32), 0, 1)
+                               * 255.0).astype(np.uint8)
+            frame = np.concatenate([frame, tri[..., None]], axis=-1)
+        if frame.shape[:2] != (self.h, self.w) or \
+                frame.shape[2] != self._in_c:
             raise ValueError(
-                f"bundle serves {(self.h, self.w)} RGB frames; got "
-                f"{frame.shape}")
+                f"bundle serves (H, W, C) = "
+                f"{(self.h, self.w, self._in_c)} frames"
+                + (" (trimap-conditioned: pass trimap= or a 4-channel "
+                   "frame)" if self._in_c == 4 else "")
+                + f"; got {frame.shape}")
         if (self._ph, self._pw) != (self.h, self.w):
             frame = np.pad(frame, ((0, self._ph - self.h),
                                    (0, self._pw - self.w), (0, 0)),
@@ -324,10 +344,15 @@ class ServingBundle:
                 "fgr": np.asarray(fgr_u8)[batch_idx, :self.h, :self.w],
                 "comp": np.asarray(rgba)[batch_idx, :self.h, :self.w]}
 
-    def step(self, frame: np.ndarray) -> dict:
-        """Matte one (H, W, 3) uint8 RGB frame; carries temporal state."""
+    def step(self, frame: np.ndarray,
+             trimap: Optional[np.ndarray] = None) -> dict:
+        """Matte one (H, W, 3) uint8 RGB frame; carries temporal state.
+        Trimap-conditioned bundles additionally take a per-frame trimap
+        ((H, W) uint8 {0,128,255} or float {0,0.5,1}), or a
+        pre-concatenated 4-channel frame."""
         outs, self._state = self._step(self._params,
-                                       jnp.asarray(self._pad(frame)),
+                                       jnp.asarray(self._pad(frame,
+                                                             trimap)),
                                        self._state)
         return self._unpack(outs)
 

@@ -57,6 +57,56 @@ def synthetic_frames_only(h: int, w: int, num_frames: int, seed: int = 0
         yield frame
 
 
+def synthetic_ambiguous_frame(h: int, w: int, t: float, seed: int = 0,
+                              target: int = 0
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """One frame of the AMBIGUOUS twin-disk clip.
+
+    Two visually IDENTICAL soft-edged disks orbit the frame center in
+    anti-phase; ground-truth alpha covers only disk ``target`` (0 or 1).
+    The rendered frame is bit-identical for either target — no pixel
+    evidence says which twin is the subject — so matting the right one
+    requires an external hint (a keyframe trimap) carried forward by the
+    temporal state. This is the fixture that makes trimap PROPAGATION a
+    measurable capability instead of a no-op on unambiguous content.
+    """
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    phase = rng.rand(3, 4) * 2 * np.pi
+    bg = np.stack([
+        0.5 + 0.2 * np.sin(2 * np.pi * xx / w * 3 + phase[c, 0])
+        * np.cos(2 * np.pi * yy / h * 2 + phase[c, 1])
+        + 0.1 * np.sin(2 * np.pi * (xx + yy) / (h + w) * 5 + phase[c, 2])
+        for c in range(3)], axis=-1)
+
+    radius = 0.15 * min(h, w)
+    fg_color = np.array([0.9, 0.3, 0.2], np.float32) + 0.1 * np.sin(
+        np.stack([xx, yy, xx + yy], axis=-1) / 17.0)
+    alphas = []
+    for k in range(2):  # twin k at orbit angle 2*pi*t + k*pi
+        ang = 2 * np.pi * t + k * np.pi
+        cx = w / 2 + 0.28 * w * np.cos(ang)
+        cy = h / 2 + 0.28 * h * np.sin(ang)
+        dist = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        alphas.append(np.clip((radius - dist) / 2.0 + 0.5,
+                              0.0, 1.0)[..., None])
+    # Anti-phase twins on a 0.28-radius orbit never overlap (centers are
+    # 0.56*min(h,w) apart vs disk diameter 0.3), so the union composite
+    # is exact.
+    a_union = np.clip(alphas[0] + alphas[1], 0.0, 1.0)
+    frame = a_union * fg_color + (1.0 - a_union) * bg
+    frame_u8 = np.round(np.clip(frame, 0, 1) * 255).astype(np.uint8)
+    return frame_u8, alphas[target].astype(np.float32)
+
+
+def synthetic_ambiguous_clip(h: int, w: int, num_frames: int,
+                             seed: int = 0, target: int = 0
+                             ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (frame_uint8, gt_alpha) for the twin-disk ambiguous clip."""
+    for i in range(num_frames):
+        yield synthetic_ambiguous_frame(h, w, i / 30.0, seed, target)
+
+
 def write_synthetic_matting_dataset(root: str, num_clips: int = 2,
                                     frames: int = 6, h: int = 96,
                                     w: int = 96, seed: int = 0,

@@ -23,6 +23,68 @@ import numpy as np
 from vidmat.config import ModelConfig
 
 
+def graft_trimap_params(src: Dict[str, Any], cfg: ModelConfig,
+                        seed: int = 0) -> Dict[str, Any]:
+    """Transfer a non-trimap checkpoint into a trimap-conditioned config.
+
+    Every leaf with a matching shape is copied verbatim. The two layers
+    that see the input frame grow an extra channel (4 = RGB + trimap):
+
+      - ``encoder/stem/conv/kernel``: (3, 3, s*s*3, F) -> (3, 3, s*s*4, F)
+      - ``d0/conv/kernel`` (full-res cond concat): last s*s*3 input rows
+        -> s*s*4
+
+    space_to_depth packs channels [dy, dx, c] with c fastest
+    (matting_net.space_to_depth), so source channel rows p*3+c map to
+    target rows p*4+c per spatial position p; the new trimap rows are
+    ZERO-initialized — the grafted net is exactly the source net (the
+    trimap channel is invisible) until training opens it up. This is the
+    transfer-learning init for the trimap-propagation family: start from
+    a converged recurrent matting model instead of from scratch.
+    """
+    if not cfg.use_trimap:
+        raise ValueError("target config must have use_trimap=True")
+    s = cfg.space_to_depth
+    tgt = init_params(cfg, seed=seed)
+
+    def expand_cond_rows(src_k: np.ndarray, tgt_k: np.ndarray,
+                         cond_src_rows: int) -> np.ndarray:
+        """Map the trailing cond rows from 3-channel to 4-channel s2d
+        packing; leading (feature) rows copy verbatim."""
+        out = np.zeros(tgt_k.shape, src_k.dtype)
+        lead = src_k.shape[2] - cond_src_rows
+        out[:, :, :lead] = src_k[:, :, :lead]
+        for p in range(s * s):
+            for c in range(3):
+                out[:, :, lead + p * 4 + c] = src_k[:, :, lead + p * 3 + c]
+        return out
+
+    src_flat = jax.tree_util.tree_flatten_with_path(src)[0]
+    tgt_flat, treedef = jax.tree_util.tree_flatten_with_path(tgt)
+    if len(src_flat) != len(tgt_flat):
+        raise ValueError("source/target trees differ beyond the input "
+                         "channel plan — not a graftable pair")
+    out_leaves = []
+    for (ps, ls), (pt, lt) in zip(src_flat, tgt_flat):
+        if ps != pt:
+            raise ValueError(f"tree mismatch at {jax.tree_util.keystr(ps)}"
+                             f" vs {jax.tree_util.keystr(pt)}")
+        ls = np.asarray(ls)
+        if ls.shape == lt.shape:
+            out_leaves.append(ls)
+            continue
+        # Only the 2 frame-facing kernels may differ, by s*s input rows.
+        if (ls.ndim == 4 and ls.shape[:2] == lt.shape[:2]
+                and ls.shape[3] == lt.shape[3]
+                and lt.shape[2] - ls.shape[2] == s * s):
+            out_leaves.append(expand_cond_rows(ls, np.asarray(lt), s * s * 3))
+        else:
+            raise ValueError(
+                f"ungraftable shape at {jax.tree_util.keystr(ps)}: "
+                f"{ls.shape} -> {lt.shape}")
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
 def init_params(cfg: ModelConfig = ModelConfig(), seed: int = 0,
                 height: int = 64, width: int = 64) -> Dict[str, Any]:
     """Initialize Flax variables {'params', 'batch_stats'} for the network.
@@ -180,10 +242,13 @@ _CKPT_ROOT = os.path.join(
 
 #: ModelConfig axes -> shipped trained checkpoint directory name.
 _DEFAULT_CKPTS = {
-    # (use_trimap, space_to_depth) for the base channel plan
-    (False, 1): "synthetic_demo",   # held-out MAD 0.0006 (quality rung)
-    (False, 2): "fast_demo",        # held-out MAD <=0.002 (serving rung)
-    (True, 1): "trimap_demo",       # held-out MAD 0.0017 (PR1 trimap rung)
+    # (use_trimap, space_to_depth, recurrent) for the base channel plan
+    (False, 1, True): "synthetic_demo",  # held-out MAD 0.0006 (quality rung)
+    (False, 2, True): "fast_demo",       # held-out MAD <=0.002 (serving rung)
+    (True, 1, False): "trimap_demo",     # held-out MAD 0.0017 (PR1 trimap,
+                                         # per-frame, non-recurrent)
+    (True, 2, True): "trimap_prop_demo",  # trimap PROPAGATION: keyframe
+                                          # trimap carried by the GRU
 }
 
 
@@ -191,22 +256,18 @@ def default_checkpoint_path(cfg: ModelConfig) -> Optional[str]:
     """Path of the shipped trained checkpoint matching ``cfg``, or None.
 
     Only the base channel plan has shipped weights; size variants and
-    other space_to_depth factors have none. Trimap checkpoints were
-    trained non-recurrent, but conv params are recurrence-independent
-    except the GRU subtrees, so the match is on the weight-shaping axes
-    only (use_trimap, space_to_depth, channel plan, recurrence)."""
+    other space_to_depth factors have none. The match is on the
+    weight-shaping axes (use_trimap, space_to_depth, channel plan) plus
+    recurrence: trimap_demo was trained non-recurrent (no GRU subtrees),
+    trimap_prop_demo recurrent (the GRU carries the keyframe trimap
+    constraint forward)."""
     base = ModelConfig()
     if (cfg.enc_channels, cfg.dec_channels) != (base.enc_channels,
                                                 base.dec_channels):
         return None
-    name = _DEFAULT_CKPTS.get((cfg.use_trimap, cfg.space_to_depth))
+    name = _DEFAULT_CKPTS.get(
+        (cfg.use_trimap, cfg.space_to_depth, cfg.recurrent))
     if name is None:
-        return None
-    # trimap_demo was trained with recurrent=False (no GRU params);
-    # the recurrent checkpoints need the GRU subtrees.
-    if cfg.use_trimap and cfg.recurrent:
-        return None
-    if not cfg.use_trimap and not cfg.recurrent:
         return None
     path = os.path.join(_CKPT_ROOT, name)
     return path if os.path.isdir(path) else None
@@ -231,8 +292,10 @@ def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
             f"no shipped trained checkpoint matches {cfg!r}: pass "
             "variables=... (a loaded checkpoint, or init_params(cfg) to "
             "explicitly opt into random weights). Shipped defaults cover "
-            "the base channel plan with space_to_depth in (1, 2) and the "
-            "non-recurrent trimap variant (checkpoints/).")
+            "the base channel plan with space_to_depth in (1, 2), the "
+            "non-recurrent per-frame trimap variant (trimap_demo), and "
+            "the recurrent trimap-propagation variant, s2d=2 "
+            "(trimap_prop_demo) — see checkpoints/.")
     key = (path, cfg.recurrent)
     cached = _DEFAULT_CACHE.get(key)
     if cached is not None:

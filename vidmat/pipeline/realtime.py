@@ -165,17 +165,28 @@ class RealtimeMatting:
             max_frames: Optional[int] = None,
             fps_hint: float = 30.0,
             frame_timeout: float = 30.0,
+            warmup: bool = True,
             on_frame=None) -> dict:
         """Serve a live source until it ends (or ``max_frames`` outputs).
 
         pace_fps: producer pacing for file-backed simulation of a camera
         (None = produce as fast as the source decodes — a camera is
         naturally paced, a file is not). on_frame(alpha_u8, comp_u8)
-        is called per PROCESSED frame. Returns the stats dict:
-        produced / processed / dropped, achieved_fps, p50/p99 step
+        is called per PROCESSED frame. warmup (default True) compiles
+        the serving step on a dummy frame BEFORE the producer starts —
+        otherwise the latest-wins mailbox silently drops the feed's
+        opening seconds while XLA compiles (measured: a 12-frame unpaced
+        source lost 11 frames to first-step compile). Returns the stats
+        dict: produced / processed / dropped, achieved_fps, p50/p99 step
         latency ms.
         """
         from vidmat.io.writer import VideoWriter
+
+        if warmup:
+            zero = np.zeros((self._ph, self._pw, 3), np.uint8)
+            a_d, f_d = self._stepper.step_device(zero)
+            jax.block_until_ready(self._finish(a_d, f_d))
+            self._stepper.reset()  # the dummy frame must not taint state
 
         box = LatestMailbox()
         stop = threading.Event()

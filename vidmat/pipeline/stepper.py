@@ -154,8 +154,18 @@ class VideoStepper:
                       trimap: Optional[np.ndarray] = None) -> jnp.ndarray:
         if self.cfg.use_trimap:
             if trimap is None:
-                raise ValueError("model config requires a per-frame "
-                                 "trimap input (step(frame, trimap=...))")
+                if not self.cfg.recurrent:
+                    raise ValueError(
+                        "model config requires a per-frame trimap input "
+                        "(step(frame, trimap=...))")
+                # Trimap PROPAGATION convention (recurrent trimap family,
+                # checkpoints/trimap_prop_demo): the caller annotates a
+                # keyframe, later frames ride an all-unknown (0.5) trimap
+                # and the GRU carries the constraint forward — exactly the
+                # training convention (train/data.py keyframe mode).
+                trimap = np.full(frame.shape[:2],
+                                 128 if frame.dtype == np.uint8 else 0.5,
+                                 frame.dtype)
             tri = np.asarray(trimap)
             if tri.ndim == 3:
                 tri = tri[..., 0]

@@ -167,6 +167,24 @@ def _attach_trimap(frame: np.ndarray, tri: np.ndarray,
     return np.concatenate([frame, tri[..., None]], axis=-1)
 
 
+def _single_trimap(src) -> Optional[np.ndarray]:
+    """A trimap_source naming ONE still (keyframe propagation) — a 2D/
+    single-channel array or a single image file — or None when it is a
+    per-frame stream (video path, dir/pattern, frame iterable)."""
+    import os
+
+    from vidmat.io.reader import _IMG_EXTS, read_image
+
+    if isinstance(src, np.ndarray):
+        # A bare ndarray is always ONE trimap (a per-frame stream is a
+        # list/iterator of arrays): (H, W), (H, W, 1) or (H, W, 3).
+        return src
+    if (isinstance(src, str) and os.path.isfile(src)
+            and os.path.splitext(src)[1].lower() in _IMG_EXTS):
+        return read_image(src)
+    return None
+
+
 class VideoPipeline:
     """End-to-end video matting (BASELINE.json:8-10 rungs)."""
 
@@ -331,23 +349,38 @@ class VideoPipeline:
             ) -> dict:
         if self.model_cfg.use_trimap and trimap_source is None:
             raise ValueError(
-                "model_cfg.use_trimap=True needs per-frame trimaps: pass "
+                "model_cfg.use_trimap=True needs trimaps: pass "
                 "trimap_source=<video path / PNG dir-or-pattern / frame "
-                "iterable> consumed in lockstep with the input")
+                "iterable> consumed in lockstep with the input — or, for "
+                "the recurrent propagation family, a single keyframe "
+                "trimap (image path or (H, W) array)")
         if trimap_source is not None and not self.model_cfg.use_trimap:
             raise ValueError(
                 "trimap_source given but the model is not trimap-"
-                "conditioned — build with "
-                "ModelConfig(use_trimap=True, recurrent=False) (the "
-                "shipped trimap_demo config), or drop trimap_source")
+                "conditioned — build with ModelConfig(use_trimap=True) "
+                "(recurrent propagation, shipped trimap_prop_demo) or "
+                "ModelConfig(use_trimap=True, recurrent=False) (per-frame "
+                "trimaps, shipped trimap_demo), or drop trimap_source")
         source = FrameSource(input_source, start=start_frame,
                              count=max_frames)
         tri_iter = None
         if trimap_source is not None:
-            # The trimap stream is trimmed identically to the input so
-            # frame i always pairs with trimap i.
-            tri_iter = iter(FrameSource(trimap_source, start=start_frame,
-                                        count=max_frames))
+            keyframe = _single_trimap(trimap_source)
+            if keyframe is not None:
+                if not self.model_cfg.recurrent:
+                    raise ValueError(
+                        "a single keyframe trimap needs the recurrent "
+                        "trimap-propagation family (ModelConfig(use_trimap"
+                        "=True), shipped trimap_prop_demo) — the "
+                        "non-recurrent per-frame family has no temporal "
+                        "state to carry it forward")
+                tri_iter = iter([keyframe])
+            else:
+                # The trimap stream is trimmed identically to the input so
+                # frame i always pairs with trimap i.
+                tri_iter = iter(FrameSource(trimap_source,
+                                            start=start_frame,
+                                            count=max_frames))
         metrics = RunMetrics()
         writers = {}
         step = None
@@ -389,10 +422,17 @@ class VideoPipeline:
             if tri_iter is not None:
                 tri = next(tri_iter, None)
                 if tri is None:
-                    raise ValueError(
-                        f"trimap stream ended at frame {n} but the input "
-                        "continues — trimap_source must cover every "
-                        "converted frame")
+                    if not self.model_cfg.recurrent:
+                        raise ValueError(
+                            f"trimap stream ended at frame {n} but the "
+                            "input continues — the per-frame trimap "
+                            "family needs a trimap for every converted "
+                            "frame (the recurrent propagation family "
+                            "continues on all-unknown trimaps instead)")
+                    # Propagation convention past the annotated prefix:
+                    # all-unknown (128) — the GRU carries the constraint
+                    # forward (train/data.py keyframe mode).
+                    tri = np.full(frame.shape[:2], 128, np.uint8)
                 frame = _attach_trimap(frame, tri, n)
             if step is None:
                 fh, fw = frame.shape[:2]

@@ -36,6 +36,17 @@ def synthetic_clip_batches(t: int = 4, n: int = 2, h: int = 64, w: int = 64,
         yield clips, alphas, fgrs
 
 
+def _box_dilate(mask: np.ndarray, r: int) -> np.ndarray:
+    """Binary box dilation with radius r via an integral image (O(HW))."""
+    h, w = mask.shape
+    pad = np.pad(mask.astype(np.int32), r)
+    ii = pad.cumsum(0).cumsum(1)
+    ii = np.pad(ii, ((1, 0), (1, 0)))
+    s = (ii[2 * r + 1:, 2 * r + 1:] - ii[:-2 * r - 1, 2 * r + 1:]
+         - ii[2 * r + 1:, :-2 * r - 1] + ii[:-2 * r - 1, :-2 * r - 1])
+    return s[:h, :w] > 0
+
+
 def alpha_to_trimap(alpha: np.ndarray, band: float = 0.08,
                     lo: float = 0.05, hi: float = 0.95) -> np.ndarray:
     """Derive a {0, 0.5, 1} trimap from ground-truth alpha: definite fg/bg
@@ -47,26 +58,112 @@ def alpha_to_trimap(alpha: np.ndarray, band: float = 0.08,
     a = alpha[..., 0] if alpha.ndim == 3 else alpha
     h, w = a.shape
     r = max(1, int(band * min(h, w)))
-    unknown = (a > lo) & (a < hi)
-    # box-dilate the unknown band with a cumulative-sum trick
-    pad = np.pad(unknown.astype(np.int32), r)
-    ii = pad.cumsum(0).cumsum(1)
-    ii = np.pad(ii, ((1, 0), (1, 0)))
-    s = (ii[2 * r + 1:, 2 * r + 1:] - ii[:-2 * r - 1, 2 * r + 1:]
-         - ii[2 * r + 1:, :-2 * r - 1] + ii[:-2 * r - 1, :-2 * r - 1])
-    dilated = s[:h, :w] > 0
+    dilated = _box_dilate((a > lo) & (a < hi), r)
     tri = np.where(a >= hi, 1.0, 0.0).astype(np.float32)
     tri[dilated] = 0.5
     return tri[..., None]
 
 
+def trimap_from_mask(mask: np.ndarray, band=0.04) -> np.ndarray:
+    """Derive a {0, 0.5, 1} trimap from a ROUGH segmentation mask.
+
+    The practical entry into trimap-conditioned matting: users rarely
+    hold a real trimap, but a binary person/object mask (from any
+    segmenter, or hand-painted) is common. A hard mask defeats
+    ``alpha_to_trimap`` (no intermediate alpha for its saturation band
+    to find), so the unknown band here straddles the mask BOUNDARY:
+    pixels within ``band`` of both classes become 0.5, the eroded
+    interior stays definite fg, the far exterior definite bg — standard
+    erode/dilate trimap generation (DIM-lineage preprocessing).
+
+    mask: (H, W) / (H, W, 1) / (H, W, 3), uint8 (>=128 = fg) or float
+    (>=0.5 = fg). band: unknown half-width — a float = fraction of the
+    short side, or an int = pixels. Returns (H, W, 1) float32, directly
+    usable as ``trimap_source`` (keyframe propagation) or a per-frame
+    ``step(frame, trimap=...)`` input.
+    """
+    m = np.asarray(mask)
+    if m.ndim == 3:
+        m = m[..., 0]
+    fg = (m >= 128) if m.dtype == np.uint8 else (
+        m.astype(np.float32) >= 0.5)
+    h, w = fg.shape
+    r = int(band) if isinstance(band, (int, np.integer)) else max(
+        1, int(band * min(h, w)))
+    if r < 1:
+        raise ValueError(f"band radius resolves to {r} px — must be >=1")
+    near_fg = _box_dilate(fg, r)
+    near_bg = _box_dilate(~fg, r)
+    tri = np.where(fg & ~near_bg, 1.0, 0.0).astype(np.float32)
+    tri[near_fg & near_bg] = 0.5
+    return tri[..., None]
+
+
+def synthetic_ambiguous_clip_batches(t: int = 4, n: int = 2, h: int = 64,
+                                     w: int = 64, seed: int = 0
+                                     ) -> Iterator[Tuple[np.ndarray,
+                                                         np.ndarray,
+                                                         np.ndarray]]:
+    """Endless iterator of AMBIGUOUS twin-disk batches: two identical
+    disks, gt alpha covers a randomly chosen one — pixel evidence alone
+    cannot say which (io/fixtures.synthetic_ambiguous_frame)."""
+    from vidmat.io.fixtures import synthetic_ambiguous_frame
+
+    rng = np.random.RandomState(seed + 7)
+    while True:
+        clips = np.zeros((t, n, h, w, 3), np.float32)
+        alphas = np.zeros((t, n, h, w, 1), np.float32)
+        fgrs = np.zeros((t, n, h, w, 3), np.float32)
+        for b in range(n):
+            s = int(rng.randint(0, 10000))
+            t0 = rng.rand()
+            target = int(rng.randint(2))
+            for ti in range(t):
+                frame, alpha = synthetic_ambiguous_frame(
+                    h, w, t0 + ti / 30.0, seed=s, target=target)
+                clips[ti, b] = frame.astype(np.float32) / 255.0
+                alphas[ti, b] = alpha
+                # frame-as-foreground convention; the fgr loss is masked
+                # by gt alpha so the twin's pixels are ignored
+                fgrs[ti, b] = clips[ti, b]
+        yield clips, alphas, fgrs
+
+
 def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
-                             w: int = 64, seed: int = 0):
+                             w: int = 64, seed: int = 0,
+                             keyframe: str = "off",
+                             ambiguous: float = 0.0):
     """Batches for the trimap-conditioned model: clips carry a 4th input
-    channel with the {0, 0.5, 1} trimap derived from gt alpha."""
-    for clips, alphas, fgrs in synthetic_clip_batches(t, n, h, w, seed):
+    channel with the {0, 0.5, 1} trimap derived from gt alpha.
+
+    keyframe: trimap-PROPAGATION training (recurrent trimap family —
+    the user annotates frame 0, the GRU carries the constraint forward):
+      - "off":  every frame gets its own trimap (per-frame family);
+      - "only": frame 0 gets its trimap, frames 1.. are all-0.5
+                (fully unknown — the recurrence must do the work);
+      - "mixed": alternate per-frame / keyframe batches so one
+                checkpoint serves both input conventions.
+
+    ambiguous: fraction of batches drawn from the twin-disk AMBIGUOUS
+    task (synthetic_ambiguous_clip_batches) where only the trimap says
+    which twin is the subject — keyframe batches on that task are what
+    force the recurrence to actually CARRY the annotation (on
+    unambiguous content a trimap-free net can ignore the hint entirely).
+    """
+    mode_rng = np.random.RandomState(seed + 1)
+    plain = synthetic_clip_batches(t, n, h, w, seed)
+    amb = (synthetic_ambiguous_clip_batches(t, n, h, w, seed)
+           if ambiguous > 0.0 else None)
+    while True:
+        src = amb if (amb is not None
+                      and mode_rng.rand() < ambiguous) else plain
+        clips, alphas, fgrs = next(src)
+        key_batch = (keyframe == "only"
+                     or (keyframe == "mixed" and mode_rng.rand() < 0.5))
         tri = np.stack([
             np.stack([alpha_to_trimap(alphas[ti, b]) for b in range(n)])
+            if (ti == 0 or not key_batch)
+            else np.full((n, h, w, 1), 0.5, np.float32)
             for ti in range(t)])
         clips4 = np.concatenate([clips, tri], axis=-1)
         yield clips4, alphas, fgrs
