@@ -49,13 +49,24 @@ def eval_checkpoint(name: str, *, frames: int, h: int, w: int) -> dict:
         "synthetic_demo": ModelConfig(),
         "fast_demo": ModelConfig(space_to_depth=2),
         "trimap_demo": ModelConfig(recurrent=False, use_trimap=True),
+        "trimap_prop_demo": ModelConfig(use_trimap=True, space_to_depth=2),
     }
     cfg = cfgs[name]
     variables = load_checkpoint(os.path.join(REPO, "checkpoints", name),
                                 template=init_params(cfg))
     ev = VideoEval(metrics=("mad", "mse", "sad", "grad", "conn", "dtssd"))
     for seed in HELD_OUT_SEEDS:
-        if cfg.use_trimap:
+        if cfg.use_trimap and cfg.recurrent:
+            # PROPAGATION protocol: gt-derived trimap on frame 0 ONLY;
+            # later frames auto-fill all-unknown and the GRU carries the
+            # keyframe constraint forward (the family's serving mode).
+            sess = MattingSession(h, w, model_cfg=cfg, variables=variables)
+            for i, (frame, gt) in enumerate(
+                    synthetic_clip(h, w, frames, seed=seed)):
+                tri = alpha_to_trimap(gt[..., 0]) if i == 0 else None
+                alpha, _ = sess.step(frame, trimap=tri)
+                ev.update(alpha, gt)
+        elif cfg.use_trimap:
             # Trimap protocol: the trimap is an input, derived from gt
             # alpha per frame (the PR1 image rung; model is non-recurrent).
             stepper = ImageStepper(cfg, variables=variables)
@@ -81,7 +92,8 @@ def main() -> int:
     h, w = (int(v) for v in args.size.split("x"))
 
     rows = []
-    for name in ("synthetic_demo", "fast_demo", "trimap_demo"):
+    for name in ("synthetic_demo", "fast_demo", "trimap_demo",
+                 "trimap_prop_demo"):
         if not os.path.isdir(os.path.join(REPO, "checkpoints", name)):
             print(f"skip {name}: checkpoint not present", file=sys.stderr)
             continue
@@ -101,7 +113,10 @@ def main() -> int:
         "|---|---|---|---|---|---|---|---|\n")
     desc = {"synthetic_demo": "base (s2d=1, recurrent)",
             "fast_demo": "serving (s2d=2, recurrent)",
-            "trimap_demo": "trimap-conditioned (PR1, non-recurrent)"}
+            "trimap_demo": "trimap-conditioned (PR1, non-recurrent)",
+            "trimap_prop_demo": "keyframe trimap propagation "
+                                "(s2d=2, recurrent; trimap on frame 0 "
+                                "only)"}
     lines = []
     for name, s in rows:
         dt = f"{s['dtssd']:.2f}" if "dtssd" in s else "—"
