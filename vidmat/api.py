@@ -16,12 +16,19 @@ from vidmat.config import ModelConfig, PipelineConfig
 
 def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
                 variables=None, cfg: Optional[ModelConfig] = None,
+                mask: Optional[np.ndarray] = None,
+                mask_band: float = 0.04,
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Single-image matting (BASELINE.json:7 PR1 workload).
 
     image:  (H, W, 3) float [0,1] or uint8 RGB. H, W need not be /16 —
             padded internally.
     trimap: optional (H, W) float {0, 0.5, 1}.
+    mask:   optional ROUGH binary segmentation mask (H, W) — from any
+            segmenter or hand-painted; converted to a trimap with an
+            unknown band of half-width ``mask_band`` straddling the mask
+            boundary (train.data.trimap_from_mask) and matted with the
+            trimap-conditioned family. Mutually exclusive with trimap.
     Returns (alpha (H, W, 1), fgr (H, W, 3)) float32 in [0,1].
 
     With ``variables=None`` the shipped trained checkpoint is loaded
@@ -32,6 +39,12 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
     """
     from vidmat.pipeline.stepper import ImageStepper
 
+    if mask is not None:
+        if trimap is not None:
+            raise ValueError("pass either trimap or mask, not both")
+        from vidmat.train.data import trimap_from_mask
+
+        trimap = trimap_from_mask(mask, band=mask_band)
     if cfg is None:
         if variables is None and trimap is None:
             cfg = ModelConfig()  # recurrent base: shipped synthetic_demo
@@ -39,6 +52,29 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
             cfg = ModelConfig(recurrent=False, use_trimap=trimap is not None)
     stepper = ImageStepper(cfg, variables=variables)
     return stepper(image, trimap)
+
+
+def _mask_to_trimap_source(mask_source, band: float):
+    """Adapt a segmentation-mask source into a trimap source.
+
+    A single keyframe mask (image path / bare array) becomes one trimap
+    array (the keyframe-propagation shape); a per-frame mask stream
+    (video path, PNG dir/pattern, iterable) becomes a lazy iterable of
+    trimaps converted frame by frame."""
+    from vidmat.pipeline.video import _single_trimap
+    from vidmat.train.data import trimap_from_mask
+
+    single = _single_trimap(mask_source)
+    if single is not None:
+        return trimap_from_mask(single, band=band)
+
+    def gen():
+        from vidmat.io.reader import FrameSource
+
+        for m in FrameSource(mask_source):
+            yield trimap_from_mask(m, band=band)
+
+    return gen()
 
 
 def convert_video(input_source: Union[str, Iterable[np.ndarray]],
@@ -58,7 +94,10 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   start_frame: int = 0,
                   max_frames: Optional[int] = None,
                   trimap_source: Union[str, Iterable[np.ndarray],
-                                       None] = None) -> dict:
+                                       None] = None,
+                  mask_source: Union[str, Iterable[np.ndarray],
+                                     None] = None,
+                  mask_band: float = 0.04) -> dict:
     """Convert a video to alpha / foreground / composited streams.
 
     input_source: path to a video file, or an iterator of (H, W, 3) uint8
@@ -99,10 +138,24 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
           stream that ends early continues the same way.
         Values: uint8 {0, 128, 255} or float {0, 0.5, 1} = bg/unknown/
         fg; the matte is clamped to the trimap's definite regions.
+    mask_source: ROUGH binary segmentation masks instead of trimaps —
+        the practical entry when the user holds a person/object mask
+        (from any segmenter, or hand-painted) rather than a real trimap.
+        Same two shapes as trimap_source (single keyframe image/array →
+        propagation family; video path / PNG dir / iterable → per-frame
+        family); each mask is converted on the fly with
+        train.data.trimap_from_mask (unknown band of half-width
+        ``mask_band`` straddling the mask boundary). Mutually exclusive
+        with trimap_source.
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
     """
     from vidmat.pipeline.video import VideoPipeline, _single_trimap
 
+    if mask_source is not None:
+        if trimap_source is not None:
+            raise ValueError("pass either trimap_source or mask_source, "
+                             "not both")
+        trimap_source = _mask_to_trimap_source(mask_source, mask_band)
     if model_cfg is None and trimap_source is not None:
         if _single_trimap(trimap_source) is not None:
             model_cfg = ModelConfig(use_trimap=True, space_to_depth=2)

@@ -50,6 +50,14 @@ def _add_video(sub):
                         "SINGLE image = keyframe propagation (the "
                         "recurrent state carries the frame-0 annotation "
                         "forward); values {0,128,255} = bg/unknown/fg")
+    p.add_argument("--mask", default=None, metavar="SOURCE",
+                   help="like --trimap but with ROUGH binary segmentation "
+                        "masks (converted on the fly: unknown band "
+                        "straddles the mask boundary); a single image = "
+                        "keyframe propagation, a stream = per-frame")
+    p.add_argument("--mask-band", type=float, default=0.04,
+                   help="unknown-band half-width for --mask (fraction of "
+                        "the short side, or pixels if >=1)")
     p.add_argument("--start-frame", type=int, default=0,
                    help="skip the first N input frames (exact "
                         "sequential skip)")
@@ -64,6 +72,8 @@ def _add_image(sub):
     p = sub.add_parser("image", help="single-image matting (PR1)")
     p.add_argument("input")
     p.add_argument("--trimap")
+    p.add_argument("--mask", help="rough binary segmentation mask image "
+                                  "(converted to a trimap on the fly)")
     p.add_argument("--output-alpha", required=True)
     p.add_argument("--output-foreground")
     p.add_argument("--checkpoint")
@@ -247,7 +257,9 @@ def main(argv=None) -> int:
                 variables=variables, model_cfg=model_cfg,
                 pipe_cfg=pipe_cfg, progress=args.progress,
                 start_frame=args.start_frame, max_frames=args.max_frames,
-                trimap_source=args.trimap)
+                trimap_source=args.trimap, mask_source=args.mask,
+                mask_band=(int(args.mask_band) if args.mask_band >= 1
+                           else args.mask_band))
         print(json.dumps(metrics))
         return 0
 
@@ -263,9 +275,11 @@ def main(argv=None) -> int:
         trimap = read_image(args.trimap) if args.trimap else None
         if trimap is not None and trimap.dtype == np.uint8:
             trimap = trimap.astype(np.float32) / 255.0
+        mask = read_image(args.mask) if args.mask else None
         variables = (load_checkpoint(args.checkpoint)
                      if args.checkpoint else None)
-        alpha, fgr = matte_image(image, trimap, variables=variables)
+        alpha, fgr = matte_image(image, trimap, variables=variables,
+                                 mask=mask)
         write_image(args.output_alpha, alpha)
         if args.output_foreground:
             write_image(args.output_foreground, fgr)
