@@ -147,3 +147,42 @@ def test_pool_misaligned_tiling_raises():
         0, 255, (1, 256, 256, 3), np.uint8))
     with pytest.raises(ValueError, match="align with the coarse pool"):
         jax.jit(body)(v, f, plan.make_state(1))
+
+
+def test_matting_session_tiled_matches_direct_body():
+    """MattingSession(tile_size=...) serves the tiled float tail: its
+    output must be EXACTLY what build_serving_body constructs with the
+    same tile geometry (the session is pure plumbing over the factory),
+    and stay in the same ballpark as the untiled session — the tight
+    tiled-vs-untiled agreement is pinned separately with the packed tail
+    (test_fused_tiled_tail_matches_references); with random weights the
+    float paths only get a loose mean bound here."""
+    import vidmat
+
+    cfg = ModelConfig()
+    net = MattingNetwork(cfg)
+    v = init_params(cfg)
+    h = w = 256
+    sess_t = vidmat.MattingSession(h, w, variables=v, model_cfg=cfg,
+                                   downsample_ratio=0.25, tile_size=64,
+                                   tile_overlap=16)
+    sess_u = vidmat.MattingSession(h, w, variables=v, model_cfg=cfg,
+                                   downsample_ratio=0.25)
+    body, plan = build_serving_body(
+        net, cfg, RefineConfig(mode="guided"), h, w, 0.25,
+        cdtype=jnp.float32, bg=None, use_pallas=False, float_frames=True,
+        float_output=True, tile_size=64, tile_overlap=16)
+    state = plan.make_state(1)
+
+    from vidmat.io.fixtures import synthetic_frame
+
+    for i in range(2):
+        f, _ = synthetic_frame(h, w, i / 2, seed=3)
+        a_t, f_t = sess_t.step(f)
+        a_u, f_u = sess_u.step(f)
+        fj = jnp.asarray(f.astype(np.float32) / 255.0)[None]
+        (a_d, f_d), state = jax.jit(body)(v, fj, state)
+        np.testing.assert_array_equal(a_t, np.asarray(a_d)[0])
+        np.testing.assert_array_equal(f_t, np.asarray(f_d)[0])
+        assert np.abs(a_t - a_u).mean() < 1e-2
+        assert np.abs(f_t - f_u).mean() < 1e-2

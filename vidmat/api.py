@@ -192,7 +192,9 @@ class MattingSession:
     def __init__(self, height: int, width: int,
                  variables=None, model_cfg: Optional[ModelConfig] = None,
                  downsample_ratio: float = 1.0, dtype: str = "float32",
-                 static_skip_eps: Optional[float] = None):
+                 static_skip_eps: Optional[float] = None,
+                 tile_size: Optional[int] = None,
+                 tile_overlap: int = 128):
         from vidmat.pipeline.stepper import VideoStepper
 
         self._stepper = VideoStepper(
@@ -201,7 +203,11 @@ class MattingSession:
             dtype=dtype,
             # static-scene fast path (serving mode, bfloat16 dtype): skip
             # the net on unchanged frames, ~2x measured on static content
-            static_skip_eps=static_skip_eps)
+            static_skip_eps=static_skip_eps,
+            # tiled full-res refine (the 4K rung's per-coarse-tile GF
+            # stats + feather-blended coefficients) for big streams,
+            # e.g. tile_size=1024, tile_overlap=128 (the video_4k preset)
+            tile_size=tile_size, tile_overlap=tile_overlap)
 
     def step(self, frame: np.ndarray,
              trimap: Optional[np.ndarray] = None

@@ -102,7 +102,9 @@ class VideoStepper:
                  variables=None, downsample_ratio: float = 1.0,
                  dtype: str = "float32", guided_radius: int = 4,
                  guided_eps: float = 1e-4,
-                 static_skip_eps: Optional[float] = None):
+                 static_skip_eps: Optional[float] = None,
+                 tile_size: Optional[int] = None,
+                 tile_overlap: int = 128):
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16 "
                              "(pad with pipeline.stepper.pad_to_multiple)")
@@ -142,7 +144,10 @@ class VideoStepper:
             # Static-scene fast path (serving mode only — the factory
             # ignores it in fp32 parity mode): skip the net when the
             # coarse frame is unchanged, ~2x on static content.
-            static_skip_eps=static_skip_eps)
+            static_skip_eps=static_skip_eps,
+            # 4K-rung tiled full-res refine (per-coarse-tile GF stats,
+            # feather-blended coefficient grids) for streaming sessions.
+            tile_size=tile_size, tile_overlap=tile_overlap)
         self._plan = plan
         self._step = jax.jit(body)
         self.reset()
