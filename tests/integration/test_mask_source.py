@@ -120,3 +120,44 @@ def test_trimap_from_mask_bands():
     # float band: fraction of short side (0.075*40 = 3 px) — same result
     np.testing.assert_array_equal(
         tri, trimap_from_mask(mask, band=0.075)[..., 0])
+
+
+def test_mask_source_start_frame_alignment_and_lazy_conversion(
+        tmp_path, monkeypatch):
+    """With start_frame trimming, mask i must still pair with frame i
+    (the adapter trims the RAW mask stream, marked pre-trimmed so the
+    pipeline does not trim again), and skipped masks must never run
+    through the O(H*W) trimap conversion."""
+    import vidmat.train.data as td
+
+    h, w, n, start = 64, 96, 5, 3
+    cfg = ModelConfig(use_trimap=True, recurrent=False)
+    v = init_params(cfg)
+    frames, masks = _clip_with_masks(h, w, n, seed=23)
+
+    calls = []
+    real = td.trimap_from_mask
+
+    def counting(mask, band=0.04):
+        calls.append(1)
+        return real(mask, band=band)
+
+    monkeypatch.setattr(td, "trimap_from_mask", counting)
+    pat_m = str(tmp_path / "m_%03d.png")
+    m = vidmat.convert_video(frames, output_alpha=pat_m,
+                             mask_source=masks, start_frame=start,
+                             model_cfg=cfg, variables=v,
+                             downsample_ratio=1.0)
+    assert m["frames"] == n - start
+    assert len(calls) == n - start  # skipped masks never converted
+    monkeypatch.undo()
+
+    # Reference: trim both streams by hand, no start_frame.
+    pat_t = str(tmp_path / "t_%03d.png")
+    tris = [trimap_from_mask(mm) for mm in masks[start:]]
+    vidmat.convert_video(frames[start:], output_alpha=pat_t,
+                         trimap_source=tris, model_cfg=cfg, variables=v,
+                         downsample_ratio=1.0)
+    for am, at in zip(_read_all(pat_m, n - start),
+                      _read_all(pat_t, n - start)):
+        np.testing.assert_array_equal(am, at)

@@ -226,3 +226,16 @@ def test_cli_video_trimap(tmp_path):
     # mp4 recompression perturbs the input; the trimap still pins the
     # definite regions, so the matte must track gt loosely.
     assert np.abs(a - gts[0][..., 0]).mean() < 0.05
+
+
+def test_session_rejects_trimap_on_non_trimap_model():
+    """Passing trimap= to a session built with a non-trimap config must
+    raise (it would otherwise be silently ignored — inconsistent with
+    convert_video and ServingBundle, which both raise)."""
+    h, w = 64, 64
+    cfg = ModelConfig()
+    sess = vidmat.MattingSession(h, w, variables=init_params(cfg),
+                                 model_cfg=cfg, downsample_ratio=1.0)
+    with pytest.raises(ValueError, match="not trimap-conditioned"):
+        sess.step(np.zeros((h, w, 3), np.uint8),
+                  trimap=np.zeros((h, w), np.uint8))

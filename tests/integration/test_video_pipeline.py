@@ -526,3 +526,56 @@ def test_cli_video_trim_flags(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     stats = _json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["frames"] == 3
+
+
+def test_cli_image_batch_mode(tmp_path):
+    """CLI image with a directory input mattes every image independently
+    into output DIRECTORIES, keeping source stems."""
+    from vidmat.cli import main as cli_main
+    from vidmat.io.fixtures import synthetic_frame
+    from vidmat.io.writer import write_image
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for name in ("b.png", "a.png", "c.png"):
+        write_image(str(src / name), synthetic_frame(48, 64, 0.2)[0])
+    out_a = tmp_path / "alpha"
+    out_f = tmp_path / "fgr"
+    rc = cli_main(["image", str(src), "--output-alpha", str(out_a),
+                   "--output-foreground", str(out_f)])
+    assert rc == 0
+    assert sorted(p.name for p in out_a.glob("*.png")) == \
+        ["a.png", "b.png", "c.png"]
+    assert sorted(p.name for p in out_f.glob("*.png")) == \
+        ["a.png", "b.png", "c.png"]
+    # batch + per-image annotations is an error, not a silent drop
+    rc = cli_main(["image", str(src), "--output-alpha", str(out_a),
+                   "--trimap", str(src / "a.png")])
+    assert rc == 2
+
+
+def test_cli_video_tile_flags(tmp_path):
+    """--tile-size/--tile-overlap plumb into PipelineConfig (tiled refine
+    on CPU must still produce a valid conversion)."""
+    import cv2
+
+    from vidmat.cli import main as cli_main
+    from vidmat.io.fixtures import synthetic_frames_only
+    from vidmat.io.writer import VideoWriter
+
+    h, w = 96, 128
+    inp = str(tmp_path / "in.mp4")
+    vw = VideoWriter(inp, 10)
+    for f in synthetic_frames_only(h, w, 3):
+        vw.write(f)
+    vw.close()
+    out = str(tmp_path / "a.mp4")
+    rc = cli_main(["video", inp, "--output-alpha", out,
+                   "--downsample-ratio", "0.5",
+                   "--tile-size", "64", "--tile-overlap", "16"])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3

@@ -31,6 +31,17 @@ class TestFrameMetrics:
         assert row["mse"] == pytest.approx(np.mean(d * d), rel=1e-5)
         assert row["sad"] == pytest.approx(np.sum(np.abs(d)), rel=1e-5)
 
+    def test_uint16_alpha_scaled_by_dtype_max(self):
+        """16-bit PNG ground-truth mattes (read_image preserves uint16)
+        must scale by 65535, not pass through raw — unscaled values
+        corrupt every metric by ~4 orders of magnitude."""
+        p = _rand_alpha(16, 16, 4)
+        row_f = VideoEval(metrics=("mad",)).update(p, np.zeros_like(p))
+        row_u16 = VideoEval(metrics=("mad",)).update(
+            (p * 65535).round().astype(np.uint16),
+            np.zeros((16, 16), np.uint16))
+        assert row_u16["mad"] == pytest.approx(row_f["mad"], abs=2e-3)
+
     def test_uint8_and_channel_dim_canonicalized(self):
         p = _rand_alpha(16, 16, 3)
         row_f = VideoEval(metrics=("mad",)).update(p, p * 0)

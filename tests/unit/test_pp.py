@@ -135,3 +135,18 @@ def test_pipelined_bg_blur_matches_single_device():
         PipelinedMatting(h, w, _mesh2(), cfg=cfg, dtype="float32",
                          downsample_ratio=0.5, bg_color=BG, bg_blur=8,
                          pallas_interpret=True)
+
+
+def test_pipelined_rejects_trimap_models():
+    """The PP frame carry slot is 3-channel RGB; a trimap-conditioned
+    config must fail loudly at construction instead of with a carry
+    structure mismatch deep inside jit."""
+    from vidmat.models.weights import init_params
+
+    cfg = ModelConfig(use_trimap=True, space_to_depth=2,
+                      conv_impl="planar")
+    with pytest.raises(ValueError, match="trimap"):
+        PipelinedMatting(64, 64, _mesh2(), cfg=cfg,
+                         variables=init_params(cfg),
+                         downsample_ratio=0.25,
+                         pallas_interpret=True)

@@ -54,13 +54,18 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
     return stepper(image, trimap)
 
 
-def _mask_to_trimap_source(mask_source, band: float):
+def _mask_to_trimap_source(mask_source, band: float,
+                           start: int = 0, count: Optional[int] = None):
     """Adapt a segmentation-mask source into a trimap source.
 
     A single keyframe mask (image path / bare array) becomes one trimap
     array (the keyframe-propagation shape); a per-frame mask stream
     (video path, PNG dir/pattern, iterable) becomes a lazy iterable of
-    trimaps converted frame by frame."""
+    trimaps. The RAW mask stream is trimmed to [start, start + count)
+    BEFORE conversion — skipped masks are decoded (sequential skip) but
+    never run through the O(H*W*band) trimap conversion — and the result
+    is marked pre-trimmed so the pipeline does not trim it again."""
+    from vidmat.pipeline.trimap import PreTrimmedTrimaps
     from vidmat.pipeline.video import _single_trimap
     from vidmat.train.data import trimap_from_mask
 
@@ -71,10 +76,10 @@ def _mask_to_trimap_source(mask_source, band: float):
     def gen():
         from vidmat.io.reader import FrameSource
 
-        for m in FrameSource(mask_source):
+        for m in FrameSource(mask_source, start=start, count=count):
             yield trimap_from_mask(m, band=band)
 
-    return gen()
+    return PreTrimmedTrimaps(gen())
 
 
 def convert_video(input_source: Union[str, Iterable[np.ndarray]],
@@ -155,12 +160,19 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         if trimap_source is not None:
             raise ValueError("pass either trimap_source or mask_source, "
                              "not both")
-        trimap_source = _mask_to_trimap_source(mask_source, mask_band)
-    if model_cfg is None and trimap_source is not None:
-        if _single_trimap(trimap_source) is not None:
-            model_cfg = ModelConfig(use_trimap=True, space_to_depth=2)
-        else:
-            model_cfg = ModelConfig(use_trimap=True, recurrent=False)
+        trimap_source = _mask_to_trimap_source(
+            mask_source, mask_band, start=start_frame, count=max_frames)
+    if trimap_source is not None:
+        keyframe = _single_trimap(trimap_source)
+        if keyframe is not None:
+            # Decoded once here; the pipeline's own _single_trimap check
+            # then sees the array instead of re-reading the file.
+            trimap_source = keyframe
+        if model_cfg is None:
+            if keyframe is not None:
+                model_cfg = ModelConfig(use_trimap=True, space_to_depth=2)
+            else:
+                model_cfg = ModelConfig(use_trimap=True, recurrent=False)
     pipeline = VideoPipeline(
         model_cfg=model_cfg or ModelConfig(),
         pipe_cfg=pipe_cfg,

@@ -36,6 +36,12 @@ def _add_video(sub):
                         "source frame (radius in full-res pixels, e.g. "
                         "16; overrides every other --bg-* option)")
     p.add_argument("--downsample-ratio", type=float, default=None)
+    p.add_argument("--tile-size", type=int, default=None, metavar="PX",
+                   help="tiled full-res refine (the 4K rung): guided-"
+                        "filter stats per PX-sized coarse tile, feather-"
+                        "blended coefficient grids (e.g. 1024)")
+    p.add_argument("--tile-overlap", type=int, default=None, metavar="PX",
+                   help="tile overlap for --tile-size (default 128)")
     p.add_argument("--static-skip-eps", type=float, default=None,
                    metavar="EPS",
                    help="static-scene fast path: skip the net when the "
@@ -70,7 +76,11 @@ def _add_video(sub):
 
 def _add_image(sub):
     p = sub.add_parser("image", help="single-image matting (PR1)")
-    p.add_argument("input")
+    p.add_argument("input",
+                   help="an image file, or a BATCH: a directory / glob "
+                        "of images (then --output-alpha/--output-"
+                        "foreground name directories; each output keeps "
+                        "its source filename as PNG)")
     p.add_argument("--trimap")
     p.add_argument("--mask", help="rough binary segmentation mask image "
                                   "(converted to a trimap on the fly)")
@@ -235,14 +245,20 @@ def main(argv=None) -> int:
         model_cfg = pipe_cfg = None
         if args.preset:
             model_cfg, pipe_cfg = PRESETS[args.preset]()
+        overrides = {}
         if args.static_skip_eps is not None:
+            overrides["static_skip_eps"] = args.static_skip_eps
+        if args.tile_size is not None:
+            overrides["tile_size"] = args.tile_size
+        if args.tile_overlap is not None:
+            overrides["tile_overlap"] = args.tile_overlap
+        if overrides:
             import dataclasses
 
             from vidmat.config import PipelineConfig
 
             pipe_cfg = dataclasses.replace(
-                pipe_cfg or PipelineConfig(),
-                static_skip_eps=args.static_skip_eps)
+                pipe_cfg or PipelineConfig(), **overrides)
         variables = (load_checkpoint(args.checkpoint)
                      if args.checkpoint else None)
         bg = tuple(float(x) for x in args.bg_color.split(","))
@@ -264,20 +280,66 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "image":
+        import glob as _glob
+        import os
+
         import numpy as np
 
         from vidmat.api import matte_image
-        from vidmat.io.reader import read_image
+        from vidmat.io.reader import _IMG_EXTS, read_image
         from vidmat.io.writer import write_image
         from vidmat.models.weights import load_checkpoint
+
+        variables = (load_checkpoint(args.checkpoint)
+                     if args.checkpoint else None)
+
+        if os.path.isdir(args.input) or any(c in args.input for c in "*?["):
+            # Batch mode: a directory / glob of images, matted
+            # independently (no temporal state); outputs keep the source
+            # filename (as .png) under the output directories.
+            if args.trimap or args.mask:
+                print("batch image mode does not take --trimap/--mask "
+                      "(per-image annotations have no pairing rule); "
+                      "use the video subcommand with PNG sequences",
+                      file=sys.stderr)
+                return 2
+            if os.path.isdir(args.input):
+                files = sorted(
+                    os.path.join(args.input, f)
+                    for f in os.listdir(args.input)
+                    if os.path.splitext(f)[1].lower() in _IMG_EXTS)
+            else:
+                files = sorted(_glob.glob(args.input))
+            if not files:
+                print(f"no images match {args.input!r}", file=sys.stderr)
+                return 2
+            os.makedirs(args.output_alpha, exist_ok=True)
+            if args.output_foreground:
+                os.makedirs(args.output_foreground, exist_ok=True)
+            # One stepper for the whole batch (matte_image builds a fresh
+            # jit per call — same-size images would recompile every time).
+            # Config selection mirrors matte_image's no-trimap branch.
+            from vidmat.config import ModelConfig
+            from vidmat.pipeline.stepper import ImageStepper
+
+            cfg = (ModelConfig() if variables is None
+                   else ModelConfig(recurrent=False))
+            stepper = ImageStepper(cfg, variables=variables)
+            for f in files:
+                alpha, fgr = stepper(read_image(f))
+                stem = os.path.splitext(os.path.basename(f))[0] + ".png"
+                write_image(os.path.join(args.output_alpha, stem), alpha)
+                if args.output_foreground:
+                    write_image(
+                        os.path.join(args.output_foreground, stem), fgr)
+            print(json.dumps({"images": len(files)}))
+            return 0
 
         image = read_image(args.input)
         trimap = read_image(args.trimap) if args.trimap else None
         if trimap is not None and trimap.dtype == np.uint8:
             trimap = trimap.astype(np.float32) / 255.0
         mask = read_image(args.mask) if args.mask else None
-        variables = (load_checkpoint(args.checkpoint)
-                     if args.checkpoint else None)
         alpha, fgr = matte_image(image, trimap, variables=variables,
                                  mask=mask)
         write_image(args.output_alpha, alpha)

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vidmat.config import ModelConfig, PipelineConfig
+from vidmat.pipeline.trimap import canon_trimap_u8
 
 _FORMAT_VERSION = 1
 
@@ -307,12 +308,7 @@ class ServingBundle:
         if trimap is not None:
             if self._in_c != 4:
                 raise ValueError("bundle is not trimap-conditioned")
-            tri = np.asarray(trimap)
-            if tri.ndim == 3:
-                tri = tri[..., 0]
-            if tri.dtype != np.uint8:
-                tri = np.round(np.clip(tri.astype(np.float32), 0, 1)
-                               * 255.0).astype(np.uint8)
+            tri = canon_trimap_u8(trimap, frame.shape[:2])
             frame = np.concatenate([frame, tri[..., None]], axis=-1)
         if frame.shape[:2] != (self.h, self.w) or \
                 frame.shape[2] != self._in_c:

@@ -220,8 +220,10 @@ class VideoEval:
         if a.ndim != 2:
             raise ValueError(f"alpha frame must be (H, W) or (H, W, 1), "
                              f"got {a.shape}")
-        if a.dtype == np.uint8:
-            a = a.astype(np.float32) / 255.0
+        if np.issubdtype(a.dtype, np.integer):
+            # uint8 mattes scale by 255; 16-bit PNG ground truth
+            # (read_image preserves uint16) by 65535, etc.
+            a = a.astype(np.float32) / float(np.iinfo(a.dtype).max)
         return np.asarray(a, np.float32)
 
     def update(self, pred: np.ndarray, true: np.ndarray,

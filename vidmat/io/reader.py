@@ -94,7 +94,18 @@ def image_sequence(path: str):
             os.path.join(path, f) for f in os.listdir(path)
             if os.path.splitext(f)[1].lower() in _IMG_EXTS)
     elif "%" in os.path.basename(path):
-        files = sorted(_glob.glob(re.sub(r"%0?\d*d", "*", path)))
+        # Honor the pattern's declared numbering: lexicographic sort
+        # scrambles unpadded %d sequences (1, 10, 11, 2, ...), so sort by
+        # the integer the %d field captured instead.
+        m = re.search(r"%0?\d*d", path)
+        rx = re.compile(re.escape(path[:m.start()]) + r"(\d+)"
+                        + re.escape(path[m.end():]) + "$")
+        matched = []
+        for p in _glob.glob(re.sub(r"%0?\d*d", "*", path)):
+            mm = rx.match(p)
+            if mm:
+                matched.append((int(mm.group(1)), p))
+        files = [p for _, p in sorted(matched)]
     elif any(ch in path for ch in "*?["):
         files = sorted(_glob.glob(path))
     else:

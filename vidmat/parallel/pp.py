@@ -101,6 +101,14 @@ class PipelinedMatting:
             raise ValueError("bg_blur composites over a blur of the "
                              "source frame; it is mutually exclusive "
                              "with bg_color")
+        if cfg.use_trimap:
+            # The frame carry slot is 3-channel RGB; a 4-channel
+            # trimap-conditioned stream would mismatch the shard_map carry
+            # structure deep inside jit. Fail at construction instead.
+            raise ValueError(
+                "PipelinedMatting does not support trimap-conditioned "
+                "models (use_trimap=True); serve those through "
+                "convert_video / MattingSession / MultiStreamMatting")
         self.h, self.w = height, width
         self.cfg = cfg
         self.variables = jax.tree_util.tree_map(

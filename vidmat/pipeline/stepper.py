@@ -19,6 +19,7 @@ from vidmat.config import ModelConfig
 from vidmat.models.matting_net import MattingNetwork
 from vidmat.models.weights import default_variables
 from vidmat.ops.resize import downsample_ratio_shape
+from vidmat.pipeline.trimap import canon_trimap_u8
 
 
 def pad_to_multiple(x: np.ndarray, m: int = 16) -> Tuple[np.ndarray, int, int]:
@@ -157,7 +158,13 @@ class VideoStepper:
 
     def _device_frame(self, frame: np.ndarray,
                       trimap: Optional[np.ndarray] = None) -> jnp.ndarray:
-        if self.cfg.use_trimap:
+        if not self.cfg.use_trimap:
+            if trimap is not None:
+                raise ValueError(
+                    "model is not trimap-conditioned (use_trimap=False); "
+                    "the trimap would be silently ignored — build the "
+                    "session with a trimap ModelConfig (or drop trimap=)")
+        else:
             if trimap is None:
                 if not self.cfg.recurrent:
                     raise ValueError(
@@ -168,25 +175,12 @@ class VideoStepper:
                 # keyframe, later frames ride an all-unknown (0.5) trimap
                 # and the GRU carries the constraint forward — exactly the
                 # training convention (train/data.py keyframe mode).
-                trimap = np.full(frame.shape[:2],
-                                 128 if frame.dtype == np.uint8 else 0.5,
-                                 frame.dtype)
-            tri = np.asarray(trimap)
-            if tri.ndim == 3:
-                tri = tri[..., 0]
-            if tri.shape != frame.shape[:2]:
-                raise ValueError(f"trimap is {tri.shape}, frame is "
-                                 f"{frame.shape[:2]}")
+                trimap = np.full(frame.shape[:2], 128, np.uint8)
+            tri = canon_trimap_u8(trimap, frame.shape[:2])
             # 4th channel in the frame's dtype convention (the whole
             # stacked frame is normalized /255 or passed through as one).
-            if frame.dtype == np.uint8:
-                if tri.dtype != np.uint8:
-                    tri = np.round(np.clip(tri.astype(np.float32), 0, 1)
-                                   * 255.0).astype(np.uint8)
-            else:
-                if tri.dtype == np.uint8:
-                    tri = tri.astype(np.float32) / 255.0
-                tri = tri.astype(frame.dtype)
+            if frame.dtype != np.uint8:
+                tri = (tri.astype(np.float32) / 255.0).astype(frame.dtype)
             frame = np.concatenate([np.asarray(frame), tri[..., None]],
                                    axis=-1)
         if self._parity:

@@ -28,6 +28,7 @@ from vidmat.models.matting_net import MattingNetwork
 from vidmat.models.weights import init_params
 from vidmat.ops.resize import downsample_ratio_shape
 from vidmat.io.reader import FrameSource
+from vidmat.pipeline.trimap import PreTrimmedTrimaps, canon_trimap_u8
 from vidmat.io.writer import VideoWriter
 from vidmat.utils.metrics import RunMetrics
 
@@ -153,17 +154,7 @@ def _attach_trimap(frame: np.ndarray, tri: np.ndarray,
     {0, 128, 255} or float {0, 0.5, 1}. Device normalization is /255 with
     the RGB channels — the same semantics ImageStepper applies to a uint8
     trimap (pipeline/stepper.py to_float_rgb)."""
-    tri = np.asarray(tri)
-    if tri.ndim == 3:
-        tri = tri[..., 0]
-    if tri.shape != frame.shape[:2]:
-        raise ValueError(
-            f"trimap frame {frame_idx} is {tri.shape}, input frame is "
-            f"{frame.shape[:2]} — trimap_source must match the input "
-            "resolution frame-for-frame")
-    if tri.dtype != np.uint8:
-        tri = np.round(np.clip(tri.astype(np.float32), 0.0, 1.0)
-                       * 255.0).astype(np.uint8)
+    tri = canon_trimap_u8(tri, frame.shape[:2], frame_idx=frame_idx)
     return np.concatenate([frame, tri[..., None]], axis=-1)
 
 
@@ -375,6 +366,10 @@ class VideoPipeline:
                         "non-recurrent per-frame family has no temporal "
                         "state to carry it forward")
                 tri_iter = iter([keyframe])
+            elif isinstance(trimap_source, PreTrimmedTrimaps):
+                # An adapter (mask_source) already trimmed the stream to
+                # the run window; trimming again would misalign pairing.
+                tri_iter = iter(trimap_source)
             else:
                 # The trimap stream is trimmed identically to the input so
                 # frame i always pairs with trimap i.
