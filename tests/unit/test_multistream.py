@@ -2,6 +2,7 @@
 (BASELINE.json:11; SURVEY.md §4 'multi-device tests without a cluster')."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -221,3 +222,31 @@ def test_multistream_bg_blur_portrait():
     with pytest.raises(ValueError, match="mutually exclusive"):
         MultiStreamMatting(2, h, w, cfg=cfg, variables=ms.variables,
                            bg_color=(0.0, 1.0, 0.0), bg_blur=8)
+
+
+def test_multistream_trimap_conditioned():
+    """A trimap-conditioned config serves S streams of (H, W, 4) frames
+    (RGB + per-stream trimap channel) and matches the single-stream
+    reference; 3-channel frames are rejected loudly."""
+    from vidmat.models.weights import init_params
+
+    cfg = ModelConfig(use_trimap=True, recurrent=False)
+    h = w = 64
+    v = init_params(cfg)
+    mesh = make_mesh(("stream",), (8,))
+    ms = MultiStreamMatting(8, h, w, cfg=cfg, variables=v, mesh=mesh,
+                            dtype="float32", downsample_ratio=1.0)
+    rng = np.random.RandomState(7)
+    f = rng.randint(0, 255, (8, h, w, 4), np.uint8)
+    # quantize the trimap channel to the {0, 128, 255} convention
+    f[..., 3] = np.array([0, 128, 255], np.uint8)[
+        np.digitize(f[..., 3], [85, 170])]
+    a, _ = ms.step(f)
+
+    one = MultiStreamMatting(1, h, w, cfg=cfg, variables=v,
+                             dtype="float32", downsample_ratio=1.0)
+    a1, _ = one.step(f[3:4])
+    np.testing.assert_allclose(a[3], a1[0], atol=1)
+
+    with pytest.raises(ValueError, match="4"):
+        ms.step(f[..., :3])

@@ -33,8 +33,15 @@ from vidmat.pipeline.stepfactory import build_serving_body
 class MultiStreamMatting:
     """Batched matting over S independent streams of identical resolution.
 
-    step(frames_u8 (S, H, W, 3), reset_mask (S,) bool) ->
+    step(frames_u8 (S, H, W, C), reset_mask (S,) bool) ->
         (alpha_u8, fgr_u8) on host.
+
+    C is 3 (RGB), or 4 for a trimap-conditioned ``cfg`` (RGB plus a
+    uint8 {0, 128, 255} trimap channel per stream — e.g. from an
+    upstream per-stream segmentation model via
+    ``train.data.trimap_from_mask``); the serving body consumes the
+    stacked 4-channel frame exactly as ``convert_video(trimap_source=)``
+    does (pipeline/stepfactory.py body contract).
     """
 
     def __init__(self, num_streams: int, height: int, width: int,
@@ -62,6 +69,7 @@ class MultiStreamMatting:
                 f"{mesh.devices.size}-device mesh (per-device local batch)")
         self.s = num_streams
         self.h, self.w = height, width
+        self.in_c = 4 if cfg.use_trimap else 3
         self.cfg = cfg
         # Shipped trained weights or a loud error — never silent
         # random-weight serving (VERDICT r2 item 2); committed to device
@@ -190,6 +198,12 @@ class MultiStreamMatting:
                               frames_u8, reset_mask)
 
     def _dispatch(self, step_fn, sharding, frames_u8, reset_mask):
+        if frames_u8.shape[-1] != self.in_c:
+            kind = ("trimap-conditioned (RGB + trimap channel)"
+                    if self.in_c == 4 else "RGB")
+            raise ValueError(
+                f"frames have {frames_u8.shape[-1]} channels; this "
+                f"{kind} model takes {self.in_c}")
         f = jnp.asarray(frames_u8)
         if sharding is not None:
             f = jax.device_put(f, sharding)
@@ -261,7 +275,8 @@ class MultiStreamMatting:
                 return None
             batch = pad_stack(
                 [f if f is not None else
-                 np.zeros((self.h, self.w, 3), np.uint8) for f in last],
+                 np.zeros((self.h, self.w, self.in_c), np.uint8)
+                 for f in last],
                 self.h, self.w)
             return batch, reset, list(alive)
 
