@@ -224,3 +224,33 @@ def test_trimap_bundle(tmp_path):
     b3 = ServingBundle(p3)
     with pytest.raises(ValueError, match="not trimap-conditioned"):
         b3.step(frame, trimap=tri)
+
+
+def test_plate_bundle(tmp_path):
+    """Plate-conditioned bundles: the clean plate is BAKED at export (the
+    frame input stays 3-channel) and the bundle matches the live
+    ImageStepper given the same plate; a missing plate at export fails
+    loudly."""
+    from vidmat.io.fixtures import synthetic_plate_frame
+    from vidmat.pipeline.stepper import ImageStepper
+
+    cfg = ModelConfig(use_bg_plate=True, recurrent=False)
+    pipe = PipelineConfig(downsample_ratio=1.0, dtype="float32")
+    v = init_params(cfg, seed=6)
+    frame, _, plate = synthetic_plate_frame(H, W, 0.25, seed=21)
+
+    path = str(tmp_path / "pb")
+    export_bundle(path, H, W, model_cfg=cfg, pipe_cfg=pipe, variables=v,
+                  bg_color=(0.0, 0.0, 1.0), bg_plate=plate)
+    bundle = ServingBundle(path)
+    assert json.load(open(os.path.join(path, "manifest.json")))["bg_plate"]
+
+    out = bundle.step(frame)  # 3-channel input — the plate is baked
+    stepper = ImageStepper(cfg, variables=v)
+    alpha_live, _ = stepper(frame, bg_plate=plate)
+    a_live8 = np.round(alpha_live[..., 0] * 255).astype(int)
+    assert np.abs(out["alpha"].astype(int) - a_live8).max() <= 1
+
+    with pytest.raises(ValueError, match="needs the pre-captured"):
+        export_bundle(str(tmp_path / "pb2"), H, W, model_cfg=cfg,
+                      pipe_cfg=pipe, variables=v, bg_color=(0, 0, 1))

@@ -250,3 +250,50 @@ def test_multistream_trimap_conditioned():
 
     with pytest.raises(ValueError, match="4"):
         ms.step(f[..., :3])
+
+
+def test_multistream_bg_plate_conditioned():
+    """A plate-conditioned config serves with one SHARED plate on the
+    mesh (replicated constant, broadcast to the local shard) and with
+    PER-STREAM plates on the single-chip path; per-stream + mesh is
+    rejected loudly."""
+    from vidmat.io.fixtures import synthetic_plate_frame
+    from vidmat.models.weights import init_params
+
+    cfg = ModelConfig(use_bg_plate=True, recurrent=False)
+    h = w = 64
+    v = init_params(cfg)
+    _, _, plate = synthetic_plate_frame(h, w, 0.0, seed=1)
+    mesh = make_mesh(("stream",), (8,))
+    ms = MultiStreamMatting(8, h, w, cfg=cfg, variables=v, mesh=mesh,
+                            dtype="float32", downsample_ratio=1.0,
+                            bg_plate=plate)
+    rng = np.random.RandomState(11)
+    f = rng.randint(0, 255, (8, h, w, 3), np.uint8)
+    a, _ = ms.step(f)
+
+    one = MultiStreamMatting(1, h, w, cfg=cfg, variables=v,
+                             dtype="float32", downsample_ratio=1.0,
+                             bg_plate=plate)
+    a1, _ = one.step(f[4:5])
+    np.testing.assert_allclose(a[4], a1[0], atol=1)
+
+    # per-stream plates, single chip: stream i gets plate i — streams
+    # with different plates must produce different mattes on the same
+    # frame (random weights: plate taps are nonzero)
+    plates = np.stack([np.roll(plate, 9 * i, axis=1) for i in range(2)])
+    two = MultiStreamMatting(2, h, w, cfg=cfg, variables=v,
+                             dtype="float32", downsample_ratio=1.0,
+                             bg_plate=plates)
+    same = np.stack([f[0], f[0]])
+    a2, _ = two.step(same)
+    assert np.abs(a2[0].astype(int) - a2[1].astype(int)).max() > 0
+
+    with pytest.raises(ValueError, match="single-chip"):
+        MultiStreamMatting(8, h, w, cfg=cfg, variables=v, mesh=mesh,
+                           dtype="float32", downsample_ratio=1.0,
+                           bg_plate=np.stack([plate] * 8))
+    with pytest.raises(ValueError, match="num_streams"):
+        MultiStreamMatting(8, h, w, cfg=cfg, variables=v,
+                           dtype="float32", downsample_ratio=1.0,
+                           bg_plate=np.stack([plate] * 3))

@@ -84,6 +84,40 @@ def evaluate_ambiguous(cfg, variables) -> dict:
     return out
 
 
+def evaluate_plate(cfg, variables) -> dict:
+    """Held-out CLEAN-PLATE scores (mirrors evaluate_ambiguous's shape).
+
+    'camo_plate': camouflage clip with the TRUE plate (should be low —
+    the plate reveals the texture-matched disk);
+    'camo_wrong': same clip with the FIRST FRAME as the plate (a plate
+    that claims the subject is background — no usable signal; this is
+    the realistic wrong-plate failure mode);
+    'plain': ordinary distinct-colored content with the true plate
+    (general quality must not regress);
+    'gain': camo_wrong / camo_plate — the measured value of plate
+    conditioning on content where pixels alone cannot find the subject.
+    """
+    import numpy as np
+
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import synthetic_plate_clip
+    from vidmat.utils.metrics import mad
+
+    out = {}
+    for key, camo, use_true_plate in (("camo_plate", True, True),
+                                      ("camo_wrong", True, False),
+                                      ("plain", False, True)):
+        clip = list(synthetic_plate_clip(160, 160, 6, seed=424242,
+                                         camouflage=camo))
+        plate = clip[0][2] if use_true_plate else clip[0][0]
+        sess = MattingSession(160, 160, variables=variables,
+                              model_cfg=cfg, bg_plate=plate)
+        out[key] = float(np.mean([mad(sess.step(f)[0], gt)
+                                  for f, gt, _ in clip]))
+    out["gain"] = out["camo_wrong"] / max(out["camo_plate"], 1e-6)
+    return out
+
+
 def main():
     import jax
 
@@ -117,6 +151,18 @@ def main():
                          "'keyframe' gives the trimap on frame 0 only "
                          "(propagation), 'mixed' alternates per-frame/"
                          "keyframe batches, 'perframe' every frame")
+    ap.add_argument("--plate", action="store_true",
+                    help="train the CLEAN-PLATE conditioned family (BGMv2 "
+                         "lineage): clips carry the background plate as 3 "
+                         "extra channels; heldout_plate reports the "
+                         "camouflage-content gain of true vs wrong plate")
+    ap.add_argument("--camouflage", type=float, default=0.5,
+                    help="--plate: fraction of clips with texture-"
+                         "camouflaged foreground (only the plate can find "
+                         "it)")
+    ap.add_argument("--plate-jitter", type=float, default=0.03,
+                    help="--plate: imperfect-capture perturbation on the "
+                         "plate channels (brightness gain + noise)")
     ap.add_argument("--out", default="checkpoints/fast_demo")
     ap.add_argument("--platform", default="cpu",
                     help="'cpu' (default) or '' to use the ambient "
@@ -137,8 +183,13 @@ def main():
     from vidmat.train.data import synthetic_clip_batches
     from vidmat.train.loop import TrainState, make_train_step
 
+    if args.plate and args.trimap != "off":
+        raise SystemExit("--plate and --trimap train different families; "
+                         "pick one (a combined model would need a "
+                         "combined fixture)")
     cfg = ModelConfig(space_to_depth=args.s2d,
-                      use_trimap=args.trimap != "off")
+                      use_trimap=args.trimap != "off",
+                      use_bg_plate=args.plate)
     warmup = min(args.warmup, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup, args.steps, end_value=args.lr * 1e-2)
@@ -156,25 +207,35 @@ def main():
         stem = src["params"]["encoder"]["stem"]["conv"]["kernel"]
         want = variables["params"]["encoder"]["stem"]["conv"]["kernel"]
         if stem.shape != want.shape:
-            if args.trimap == "off":
+            if args.trimap == "off" and not args.plate:
                 raise SystemExit(
                     f"--init-from stem is {stem.shape}, config needs "
                     f"{want.shape} — wrong family")
-            # Transfer init for the trimap family: the checkpoint is a
-            # NON-trimap model (e.g. fast_demo) — graft it, zero-filling
-            # the trimap input taps (weights.graft_trimap_params). The
-            # grafted net starts bit-identical to the source on neutral
-            # trimaps instead of from scratch.
-            from vidmat.models.weights import graft_trimap_params
+            # Transfer init for a conditioned family: the checkpoint is
+            # an unconditioned model (e.g. fast_demo) — graft it,
+            # zero-filling the new conditioning taps
+            # (weights.graft_cond_params). The grafted net starts
+            # equal to the source (conditioning invisible) instead of
+            # from scratch.
+            from vidmat.models.weights import graft_cond_params
 
-            src = graft_trimap_params(src, cfg, seed=args.seed)
-            print(json.dumps({"init": "grafted non-trimap checkpoint "
+            src = graft_cond_params(src, cfg, seed=args.seed)
+            print(json.dumps({"init": "grafted unconditioned checkpoint "
                                       + args.init_from}), flush=True)
         variables = src
     state = TrainState(variables=variables, opt_state=opt.init(
         variables["params"]), step=0)
     sizes = args.sizes or [args.size]
-    if args.trimap == "off":
+    if args.plate:
+        from vidmat.train.data import synthetic_plate_batches
+
+        iters = [synthetic_plate_batches(t=args.clip_len, n=args.batch,
+                                         h=s, w=s,
+                                         seed=args.seed + 31 * k,
+                                         camouflage=args.camouflage,
+                                         plate_jitter=args.plate_jitter)
+                 for k, s in enumerate(sizes)]
+    elif args.trimap == "off":
         iters = [synthetic_clip_batches(t=args.clip_len, n=args.batch,
                                         h=s, w=s, seed=args.seed + 31 * k)
                  for k, s in enumerate(sizes)]
@@ -203,6 +264,24 @@ def main():
             break
         state, metrics = step_fn(state, clips, gt_a, gt_f)
         if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
+            if args.plate:
+                pl = evaluate_plate(cfg, state.variables)
+                rec = {"step": i + 1,
+                       "loss": round(float(metrics["loss"]), 5),
+                       "heldout_plate": {k: round(v, 5)
+                                         for k, v in pl.items()}}
+                # selection balances camouflage (the new capability) and
+                # ordinary content (must not regress) — same MAD units
+                score = pl["camo_plate"] + pl["plain"]
+                rec["wall_s"] = round(time.time() - t0, 1)
+                print(json.dumps(rec), flush=True)
+                if score < best:
+                    best = score
+                    save_checkpoint(os.path.abspath(args.out),
+                                    state.variables)
+                    print(f"saved {args.out} (score {best:.5f})",
+                          flush=True)
+                continue
             # keyframe/mixed ckpts are scored on PROPAGATION (trimap on
             # frame 0 only) — the capability they exist to add.
             heldout = evaluate(

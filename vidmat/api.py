@@ -18,6 +18,7 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
                 variables=None, cfg: Optional[ModelConfig] = None,
                 mask: Optional[np.ndarray] = None,
                 mask_band: float = 0.04,
+                bg_plate: Optional[np.ndarray] = None,
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Single-image matting (BASELINE.json:7 PR1 workload).
 
@@ -29,13 +30,19 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
             unknown band of half-width ``mask_band`` straddling the mask
             boundary (train.data.trimap_from_mask) and matted with the
             trimap-conditioned family. Mutually exclusive with trimap.
+    bg_plate: optional pre-captured CLEAN BACKGROUND PLATE — an (H, W, 3)
+            image of the scene without the subject (BGMv2-lineage
+            conditioning). Selects the plate-conditioned family
+            (use_bg_plate=True, shipped plate_demo): the plate
+            disambiguates camouflaged / background-colored subjects that
+            pixel evidence alone cannot separate.
     Returns (alpha (H, W, 1), fgr (H, W, 3)) float32 in [0,1].
 
     With ``variables=None`` the shipped trained checkpoint is loaded
-    (checkpoints/synthetic_demo, or trimap_demo when a trimap is given);
-    the no-trimap default config is then the recurrent base model run
-    for one frame from a zero state, because that is the variant with
-    shipped weights.
+    (checkpoints/synthetic_demo, trimap_demo when a trimap is given, or
+    plate_demo when a plate is given); the no-trimap default config is
+    then the recurrent base model run for one frame from a zero state,
+    because that is the variant with shipped weights.
     """
     from vidmat.pipeline.stepper import ImageStepper
 
@@ -46,12 +53,21 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
 
         trimap = trimap_from_mask(mask, band=mask_band)
     if cfg is None:
-        if variables is None and trimap is None:
+        if bg_plate is not None:
+            if trimap is not None:
+                raise ValueError(
+                    "no shipped checkpoint combines trimap AND plate "
+                    "conditioning — pass cfg/variables explicitly for a "
+                    "custom-trained combined model")
+            # plate family: recurrent s2d=2 (shipped plate_demo), run for
+            # one frame from a zero state like the no-trimap default
+            cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+        elif variables is None and trimap is None:
             cfg = ModelConfig()  # recurrent base: shipped synthetic_demo
         else:
             cfg = ModelConfig(recurrent=False, use_trimap=trimap is not None)
     stepper = ImageStepper(cfg, variables=variables)
-    return stepper(image, trimap)
+    return stepper(image, trimap, bg_plate=bg_plate)
 
 
 def _mask_to_trimap_source(mask_source, band: float,
@@ -90,6 +106,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                   bg_image: Optional[Union[str, np.ndarray]] = None,
                   bg_video: Optional[Union[str, object]] = None,
                   bg_blur: Optional[int] = None,
+                  bg_plate: Optional[Union[str, np.ndarray]] = None,
                   downsample_ratio: Optional[float] = None,
                   variables=None,
                   model_cfg: Optional[ModelConfig] = None,
@@ -121,6 +138,15 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         pixels, e.g. 16); synthesized on device from the coarse frame,
         upsampled inside the fused refine kernel. Takes precedence over
         every other bg option.
+    bg_plate: pre-captured CLEAN BACKGROUND PLATE — an image (path or
+        (H, W, 3) array) of the scene WITHOUT the subject (BGMv2-lineage
+        conditioning). This is a network INPUT that disambiguates
+        camouflaged / background-colored subjects, NOT the composite
+        background — combine with bg_color/bg_image/bg_video/bg_blur as
+        usual. With ``model_cfg=None`` this selects the shipped
+        plate-conditioned family (use_bg_plate=True, space_to_depth=2;
+        checkpoints/plate_demo). The plate is ingested once and baked
+        into the jitted step — zero extra per-frame H2D.
     downsample_ratio: coarse-pass scale; None = auto from resolution
         (BASELINE.json:10).
     start_frame / max_frames: trim the input — skip the first
@@ -169,10 +195,17 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
             # then sees the array instead of re-reading the file.
             trimap_source = keyframe
         if model_cfg is None:
+            if bg_plate is not None:
+                raise ValueError(
+                    "no shipped checkpoint combines trimap AND plate "
+                    "conditioning — pass model_cfg/variables explicitly "
+                    "for a custom-trained combined model")
             if keyframe is not None:
                 model_cfg = ModelConfig(use_trimap=True, space_to_depth=2)
             else:
                 model_cfg = ModelConfig(use_trimap=True, recurrent=False)
+    if bg_plate is not None and model_cfg is None:
+        model_cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
     pipeline = VideoPipeline(
         model_cfg=model_cfg or ModelConfig(),
         pipe_cfg=pipe_cfg,
@@ -182,6 +215,7 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         bg_image=bg_image if output_composition else None,
         bg_video=bg_video if output_composition else None,
         bg_blur=bg_blur if output_composition else None,
+        bg_plate=bg_plate,
         refiner_variables=refiner_variables,
     )
     return pipeline.run(input_source, output_alpha=output_alpha,
@@ -206,9 +240,13 @@ class MattingSession:
                  downsample_ratio: float = 1.0, dtype: str = "float32",
                  static_skip_eps: Optional[float] = None,
                  tile_size: Optional[int] = None,
-                 tile_overlap: int = 128):
+                 tile_overlap: int = 128,
+                 bg_plate: Optional[np.ndarray] = None):
         from vidmat.pipeline.stepper import VideoStepper
 
+        if bg_plate is not None and model_cfg is None:
+            # clean-plate family (BGMv2 lineage): shipped plate_demo
+            model_cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
         self._stepper = VideoStepper(
             model_cfg or ModelConfig(), height, width,
             variables=variables, downsample_ratio=downsample_ratio,
@@ -219,7 +257,9 @@ class MattingSession:
             # tiled full-res refine (the 4K rung's per-coarse-tile GF
             # stats + feather-blended coefficients) for big streams,
             # e.g. tile_size=1024, tile_overlap=128 (the video_4k preset)
-            tile_size=tile_size, tile_overlap=tile_overlap)
+            tile_size=tile_size, tile_overlap=tile_overlap,
+            # clean-plate conditioning: fixed per session, ingested once
+            bg_plate=bg_plate)
 
     def step(self, frame: np.ndarray,
              trimap: Optional[np.ndarray] = None

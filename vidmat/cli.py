@@ -35,6 +35,13 @@ def _add_video(sub):
                    help="portrait mode: composite over a blur of the "
                         "source frame (radius in full-res pixels, e.g. "
                         "16; overrides every other --bg-* option)")
+    p.add_argument("--bg-plate", default=None, metavar="IMAGE",
+                   help="clean-plate CONDITIONING (BGMv2 lineage): a "
+                        "pre-captured image of the scene WITHOUT the "
+                        "subject — a network input that disambiguates "
+                        "camouflaged subjects, not the composite "
+                        "background (combine with --bg-* as usual); "
+                        "selects the plate-conditioned model family")
     p.add_argument("--downsample-ratio", type=float, default=None)
     p.add_argument("--tile-size", type=int, default=None, metavar="PX",
                    help="tiled full-res refine (the 4K rung): guided-"
@@ -84,6 +91,11 @@ def _add_image(sub):
     p.add_argument("--trimap")
     p.add_argument("--mask", help="rough binary segmentation mask image "
                                   "(converted to a trimap on the fly)")
+    p.add_argument("--bg-plate", default=None, metavar="IMAGE",
+                   help="clean background plate (scene without the "
+                        "subject) — plate-conditioned matting; in batch "
+                        "mode the one plate applies to every image "
+                        "(same scene)")
     p.add_argument("--output-alpha", required=True)
     p.add_argument("--output-foreground")
     p.add_argument("--checkpoint")
@@ -138,6 +150,11 @@ def _add_export(sub):
                    help="portrait mode: the bundle composites over a blur "
                         "of the source frame (radius in full-res pixels; "
                         "overrides --bg-color/--bg-image)")
+    p.add_argument("--bg-plate", default=None, metavar="IMAGE",
+                   help="clean-plate conditioning: bake this pre-captured "
+                        "background plate into the bundle (selects the "
+                        "plate-conditioned model family; one bundle per "
+                        "camera setup)")
     p.add_argument("--alpha-only", action="store_true",
                    help="bundle emits only the uint8 alpha plane "
                         "(4x smaller per-frame readback)")
@@ -269,6 +286,7 @@ def main(argv=None) -> int:
                 output_composition=args.output_composition,
                 bg_color=bg, bg_image=args.bg_image,
                 bg_video=args.bg_video, bg_blur=args.bg_blur,
+                bg_plate=args.bg_plate,
                 downsample_ratio=args.downsample_ratio,
                 variables=variables, model_cfg=model_cfg,
                 pipe_cfg=pipe_cfg, progress=args.progress,
@@ -322,11 +340,15 @@ def main(argv=None) -> int:
             from vidmat.config import ModelConfig
             from vidmat.pipeline.stepper import ImageStepper
 
-            cfg = (ModelConfig() if variables is None
-                   else ModelConfig(recurrent=False))
+            plate = read_image(args.bg_plate) if args.bg_plate else None
+            if plate is not None:
+                cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+            else:
+                cfg = (ModelConfig() if variables is None
+                       else ModelConfig(recurrent=False))
             stepper = ImageStepper(cfg, variables=variables)
             for f in files:
-                alpha, fgr = stepper(read_image(f))
+                alpha, fgr = stepper(read_image(f), bg_plate=plate)
                 stem = os.path.splitext(os.path.basename(f))[0] + ".png"
                 write_image(os.path.join(args.output_alpha, stem), alpha)
                 if args.output_foreground:
@@ -340,8 +362,9 @@ def main(argv=None) -> int:
         if trimap is not None and trimap.dtype == np.uint8:
             trimap = trimap.astype(np.float32) / 255.0
         mask = read_image(args.mask) if args.mask else None
+        plate = read_image(args.bg_plate) if args.bg_plate else None
         alpha, fgr = matte_image(image, trimap, variables=variables,
-                                 mask=mask)
+                                 mask=mask, bg_plate=plate)
         write_image(args.output_alpha, alpha)
         if args.output_foreground:
             write_image(args.output_foreground, fgr)
@@ -435,6 +458,16 @@ def main(argv=None) -> int:
         model_cfg = pipe_cfg = None
         if args.preset:
             model_cfg, pipe_cfg = PRESETS[args.preset]()
+        if args.bg_plate and (model_cfg is None
+                              or not model_cfg.use_bg_plate):
+            # plate conditioning is a MODEL axis: promote the (preset's)
+            # config to the plate family (same serving geometry)
+            from vidmat.config import ModelConfig
+
+            model_cfg = dataclasses.replace(
+                model_cfg or ModelConfig(space_to_depth=2,
+                                         conv_impl="planar"),
+                use_bg_plate=True)
         if args.chunk is not None:
             pipe_cfg = dataclasses.replace(pipe_cfg or PipelineConfig(),
                                            chunk_size=args.chunk)
@@ -447,6 +480,7 @@ def main(argv=None) -> int:
             downsample_ratio=args.downsample_ratio,
             bg_color=None if args.raw_foreground else bg,
             bg_image=args.bg_image, bg_blur=args.bg_blur,
+            bg_plate=args.bg_plate,
             alpha_only=args.alpha_only,
             need_fgr=args.raw_foreground)
         with open(f"{path}/manifest.json") as f:

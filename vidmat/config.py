@@ -26,6 +26,15 @@ class ModelConfig:
     dec_channels: Tuple[int, int, int, int] = (48, 32, 24, 16)
     # Trimap variant: extra input channel carrying {0, 0.5, 1}.
     use_trimap: bool = False
+    # Clean-plate variant (BackgroundMattingV2 lineage [DOMAIN, SURVEY.md
+    # §1.1 names the error-map/BGMv2 family]): three extra input channels
+    # carrying a pre-captured clean background plate of the scene. The
+    # plate disambiguates foreground from background where pixel evidence
+    # alone cannot (camouflaged subjects, bg-colored clothing). Serving
+    # ingests the plate ONCE to the coarse grid and concatenates it
+    # on-device as a traced constant — zero extra per-frame H2D
+    # (pipeline/stepfactory.py cond_const).
+    use_bg_plate: bool = False
     # Recurrent ConvGRU on half the channels of each decoder stage (RVM-style
     # split-half recurrence [DOMAIN, SURVEY.md §1.1]).
     recurrent: bool = True
@@ -46,7 +55,11 @@ class ModelConfig:
 
     @property
     def in_channels(self) -> int:
-        return 4 if self.use_trimap else 3
+        # Net-input channel order: RGB, then the trimap byte (index 3 —
+        # the pin logic in matting_net/planar/torch_oracle reads it
+        # there), then the plate RGB.
+        return 3 + (1 if self.use_trimap else 0) + (
+            3 if self.use_bg_plate else 0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,6 +85,7 @@ def export_bundle(out_dir: str, height: int, width: int, *,
                                                                     0.0),
                   bg_image: Optional[Union[str, np.ndarray]] = None,
                   bg_blur: Optional[int] = None,
+                  bg_plate: Optional[Union[str, np.ndarray]] = None,
                   alpha_only: bool = False,
                   need_fgr: bool = False) -> str:
     """Export an AOT serving bundle for a fixed (height, width) stream.
@@ -108,6 +109,11 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         artifact). Takes precedence over bg_color/bg_image; exportable
         because the background derives from the frame input, not from
         an extra argument.
+    bg_plate: clean-plate CONDITIONING (use_bg_plate configs) — the
+        pre-captured background plate image (path or array), ingested at
+        export time and BAKED into the artifact as a constant (a bundle
+        serves one fixed scene plate; export per camera setup). The
+        bundle's frame input stays 3-channel (4 with trimap).
     alpha_only: the bundle emits only the (H, W) uint8 alpha plane
         (packed Pallas path; 4x smaller D2H). Ignored off the packed path.
     need_fgr: the bundle emits raw foreground (u8 tuple path).
@@ -153,13 +159,19 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         bg_kind = "none"
         need_fgr = True  # no background: packed words would premultiply
 
+    plate = None
+    if bg_plate is not None:
+        from vidmat.pipeline.video import _prepare_plate_u8
+
+        plate = jnp.asarray(_prepare_plate_u8(bg_plate, ph, pw))
     body, plan = build_serving_body(
         net, model_cfg, pipe_cfg.refine, ph, pw, ratio,
         cdtype=cdtype, bg=bg, use_pallas=pipe_cfg.use_pallas,
         need_fgr=need_fgr, tile_size=pipe_cfg.tile_size,
         tile_overlap=pipe_cfg.tile_overlap, alpha_only=alpha_only,
         static_skip_eps=pipe_cfg.static_skip_eps,
-        bg_blur=bg_blur if bg_kind == "blur" else None)
+        bg_blur=bg_blur if bg_kind == "blur" else None,
+        bg_plate=plate)
 
     state0 = plan.make_state(1)
     p_leaves, p_tree = jax.tree_util.tree_flatten(variables)
@@ -182,8 +194,10 @@ def export_bundle(out_dir: str, height: int, width: int, *,
     p_specs = [spec(l) for l in p_leaves]
     s_specs = [spec(l) for l in s_leaves]
     # Trimap-conditioned bundles take (1, ph, pw, 4): RGB + trimap byte
-    # ({0,128,255}), same channel contract as the live serving body.
-    in_c = model_cfg.in_channels
+    # ({0,128,255}), same channel contract as the live serving body. A
+    # baked clean plate (use_bg_plate) is NOT a frame channel — the
+    # bundle input stays RGB(+trimap).
+    in_c = 4 if model_cfg.use_trimap else 3
     f_spec = jax.ShapeDtypeStruct((1, ph, pw, in_c), jnp.uint8)
     exp = jax_export.export(jax.jit(flat_step))(p_specs, f_spec, s_specs)
 
@@ -235,6 +249,7 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         "output": output,
         "bg": bg_kind,
         "bg_blur": bg_blur if bg_kind == "blur" else None,
+        "bg_plate": plate is not None,
         "chunk": k if chunk_blob is not None else 1,
         "static_skip": plan.static_skip,
         "platforms": list(exp.platforms),

@@ -24,11 +24,7 @@ def synthetic_frame(h: int, w: int, t: float, seed: int = 0,
     # Static low-freq background texture (deterministic per seed).
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     phase = rng.rand(3, 4) * 2 * np.pi
-    bg = np.stack([
-        0.5 + 0.2 * np.sin(2 * np.pi * xx / w * 3 + phase[c, 0])
-        * np.cos(2 * np.pi * yy / h * 2 + phase[c, 1])
-        + 0.1 * np.sin(2 * np.pi * (xx + yy) / (h + w) * 5 + phase[c, 2])
-        for c in range(3)], axis=-1)
+    bg = _texture(xx, yy, h, w, phase)
 
     # Orbiting disk foreground with a soft (2-px feather) edge.
     cx = w / 2 + 0.25 * w * np.cos(2 * np.pi * t)
@@ -57,6 +53,88 @@ def synthetic_frames_only(h: int, w: int, num_frames: int, seed: int = 0
         yield frame
 
 
+def _texture(xx: np.ndarray, yy: np.ndarray, h: int, w: int,
+             phase: np.ndarray) -> np.ndarray:
+    """The fixture's low-frequency RGB background texture as a pure
+    function of coordinates — shared by the plain and camouflage
+    fixtures so a shifted sample is statistically identical texture."""
+    return np.stack([
+        0.5 + 0.2 * np.sin(2 * np.pi * xx / w * 3 + phase[c, 0])
+        * np.cos(2 * np.pi * yy / h * 2 + phase[c, 1])
+        + 0.1 * np.sin(2 * np.pi * (xx + yy) / (h + w) * 5 + phase[c, 2])
+        for c in range(3)], axis=-1)
+
+
+def synthetic_plate_frame(h: int, w: int, t: float, seed: int = 0,
+                          camouflage: bool = True,
+                          plate_jitter: float = 0.0,
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One frame of the CLEAN-PLATE clip (BGMv2-lineage fixture).
+
+    Returns (frame_uint8 (H, W, 3), alpha_f32 (H, W, 1),
+    plate_uint8 (H, W, 3)) where ``plate`` is the scene's background
+    WITHOUT the foreground — the pre-captured clean plate a
+    plate-conditioned model consumes.
+
+    camouflage=True fills the orbiting disk with the SAME background
+    texture sampled at a fixed per-seed offset: the disk interior is
+    locally indistinguishable from background (same marginal statistics,
+    same spatial frequencies), so pixel evidence alone cannot find it —
+    only comparison against the clean plate can. This is the fixture
+    that makes plate conditioning a measurable capability rather than a
+    redundant hint (mirroring how the twin-disk fixture pins trimap
+    propagation).
+
+    plate_jitter: optional imperfect-capture model — the RETURNED plate
+    is brightness-scaled and noised by this magnitude (the frame still
+    composites over the TRUE background), so training teaches robustness
+    to plates that do not match pixel-exactly.
+    """
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    phase = rng.rand(3, 4) * 2 * np.pi
+    bg = _texture(xx, yy, h, w, phase)
+
+    cx = w / 2 + 0.25 * w * np.cos(2 * np.pi * t)
+    cy = h / 2 + 0.25 * h * np.sin(2 * np.pi * t)
+    radius = 0.18 * min(h, w)
+    dist = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+    alpha = np.clip((radius - dist) / 2.0 + 0.5, 0.0, 1.0)[..., None]
+
+    if camouflage:
+        # Same texture, fixed per-seed coordinate offset: moving window
+        # onto an identically-distributed patch of "background".
+        ox = (0.2 + 0.3 * rng.rand()) * w
+        oy = (0.2 + 0.3 * rng.rand()) * h
+        fg_fill = _texture(xx + ox, yy + oy, h, w, phase)
+    else:
+        fg_fill = np.array([0.9, 0.3, 0.2], np.float32) + 0.1 * np.sin(
+            np.stack([xx, yy, xx + yy], axis=-1) / 17.0)
+
+    frame = alpha * fg_fill + (1.0 - alpha) * bg
+    plate = bg
+    if plate_jitter > 0.0:
+        jr = np.random.RandomState(seed + 13)
+        gain = 1.0 + plate_jitter * (2.0 * jr.rand() - 1.0)
+        plate = plate * gain + plate_jitter * jr.randn(h, w, 3).astype(
+            np.float32) * 0.5
+    frame_u8 = np.round(np.clip(frame, 0, 1) * 255).astype(np.uint8)
+    plate_u8 = np.round(np.clip(plate, 0, 1) * 255).astype(np.uint8)
+    return frame_u8, alpha.astype(np.float32), plate_u8
+
+
+def synthetic_plate_clip(h: int, w: int, num_frames: int, seed: int = 0,
+                         camouflage: bool = True, plate_jitter: float = 0.0
+                         ) -> Iterator[Tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]]:
+    """Yield (frame_uint8, gt_alpha, plate_uint8) for a clean-plate clip
+    (the plate is constant across the clip, as a real captured plate is)."""
+    for i in range(num_frames):
+        yield synthetic_plate_frame(h, w, i / max(num_frames, 1), seed,
+                                    camouflage=camouflage,
+                                    plate_jitter=plate_jitter)
+
+
 def synthetic_ambiguous_frame(h: int, w: int, t: float, seed: int = 0,
                               target: int = 0
                               ) -> Tuple[np.ndarray, np.ndarray]:
@@ -73,11 +151,7 @@ def synthetic_ambiguous_frame(h: int, w: int, t: float, seed: int = 0,
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     phase = rng.rand(3, 4) * 2 * np.pi
-    bg = np.stack([
-        0.5 + 0.2 * np.sin(2 * np.pi * xx / w * 3 + phase[c, 0])
-        * np.cos(2 * np.pi * yy / h * 2 + phase[c, 1])
-        + 0.1 * np.sin(2 * np.pi * (xx + yy) / (h + w) * 5 + phase[c, 2])
-        for c in range(3)], axis=-1)
+    bg = _texture(xx, yy, h, w, phase)
 
     radius = 0.15 * min(h, w)
     fg_color = np.array([0.9, 0.3, 0.2], np.float32) + 0.1 * np.sin(

@@ -140,8 +140,12 @@ class MattingNetwork(nn.Module):
     """Recurrent encoder-decoder matting network.
 
     __call__(frame, state) -> (alpha, fgr, new_state)
-      frame: (N, H, W, 3) RGB in [0, 1]; H, W divisible by 16.
-             Trimap variant: (N, H, W, 4), last channel {0, 0.5, 1}.
+      frame: (N, H, W, cfg.in_channels) in [0, 1]; H, W divisible by 16.
+             Channel order: RGB, then the {0, 0.5, 1} trimap (use_trimap),
+             then the clean background plate RGB (use_bg_plate — BGMv2-
+             lineage conditioning; the plate channels flow through the
+             stem and, at s2d>1, the full-res cond concat like any other
+             input evidence).
       state: RecurrentState or None (None = cold start, zeros).
       alpha: (N, H, W, 1) in [0, 1]
       fgr:   (N, H, W, 3) in [0, 1]

@@ -23,40 +23,49 @@ import numpy as np
 from vidmat.config import ModelConfig
 
 
-def graft_trimap_params(src: Dict[str, Any], cfg: ModelConfig,
-                        seed: int = 0) -> Dict[str, Any]:
-    """Transfer a non-trimap checkpoint into a trimap-conditioned config.
+def graft_cond_params(src: Dict[str, Any], cfg: ModelConfig,
+                      src_in_channels: int = 3,
+                      seed: int = 0) -> Dict[str, Any]:
+    """Transfer a checkpoint into a config with MORE input-conditioning
+    channels (trimap and/or clean background plate).
 
     Every leaf with a matching shape is copied verbatim. The two layers
-    that see the input frame grow an extra channel (4 = RGB + trimap):
+    that see the input frame grow channels from ``src_in_channels`` to
+    ``cfg.in_channels`` per spatial position:
 
-      - ``encoder/stem/conv/kernel``: (3, 3, s*s*3, F) -> (3, 3, s*s*4, F)
-      - ``d0/conv/kernel`` (full-res cond concat): last s*s*3 input rows
-        -> s*s*4
+      - ``encoder/stem/conv/kernel``: (3, 3, s*s*Cs, F) -> (3, 3, s*s*Ct, F)
+      - ``d0/conv/kernel`` (full-res cond concat, s2d>1 only): last
+        s*s*Cs input rows -> s*s*Ct
 
-    space_to_depth packs channels [dy, dx, c] with c fastest
-    (matting_net.space_to_depth), so source channel rows p*3+c map to
-    target rows p*4+c per spatial position p; the new trimap rows are
-    ZERO-initialized — the grafted net is exactly the source net (the
-    trimap channel is invisible) until training opens it up. This is the
-    transfer-learning init for the trimap-propagation family: start from
-    a converged recurrent matting model instead of from scratch.
+    The channel order within a position is a PREFIX chain (config.py
+    in_channels: RGB, trimap, plate RGB), so a source channel is always
+    the same-index target channel. space_to_depth packs channels
+    [dy, dx, c] with c fastest (matting_net.space_to_depth), so source
+    rows p*Cs+c map to target rows p*Ct+c per spatial position p; the
+    NEW conditioning rows are ZERO-initialized — the grafted net is
+    exactly the source net (the new channels are invisible) until
+    training opens them up. This is the transfer-learning init for the
+    trimap-propagation and clean-plate families: start from a converged
+    recurrent matting model instead of from scratch.
     """
-    if not cfg.use_trimap:
-        raise ValueError("target config must have use_trimap=True")
+    cs, ct = src_in_channels, cfg.in_channels
+    if ct <= cs:
+        raise ValueError(
+            f"target config has {ct} input channels, source {cs} — the "
+            "graft only ADDS conditioning channels (use_trimap / "
+            "use_bg_plate)")
     s = cfg.space_to_depth
     tgt = init_params(cfg, seed=seed)
 
-    def expand_cond_rows(src_k: np.ndarray, tgt_k: np.ndarray,
-                         cond_src_rows: int) -> np.ndarray:
-        """Map the trailing cond rows from 3-channel to 4-channel s2d
+    def expand_cond_rows(src_k: np.ndarray, tgt_k: np.ndarray) -> np.ndarray:
+        """Map the trailing cond rows from Cs-channel to Ct-channel s2d
         packing; leading (feature) rows copy verbatim."""
         out = np.zeros(tgt_k.shape, src_k.dtype)
-        lead = src_k.shape[2] - cond_src_rows
+        lead = src_k.shape[2] - s * s * cs
         out[:, :, :lead] = src_k[:, :, :lead]
         for p in range(s * s):
-            for c in range(3):
-                out[:, :, lead + p * 4 + c] = src_k[:, :, lead + p * 3 + c]
+            for c in range(cs):
+                out[:, :, lead + p * ct + c] = src_k[:, :, lead + p * cs + c]
         return out
 
     src_flat = jax.tree_util.tree_flatten_with_path(src)[0]
@@ -73,16 +82,25 @@ def graft_trimap_params(src: Dict[str, Any], cfg: ModelConfig,
         if ls.shape == lt.shape:
             out_leaves.append(ls)
             continue
-        # Only the 2 frame-facing kernels may differ, by s*s input rows.
+        # Only the 2 frame-facing kernels may differ, by s*s*(Ct-Cs) rows.
         if (ls.ndim == 4 and ls.shape[:2] == lt.shape[:2]
                 and ls.shape[3] == lt.shape[3]
-                and lt.shape[2] - ls.shape[2] == s * s):
-            out_leaves.append(expand_cond_rows(ls, np.asarray(lt), s * s * 3))
+                and lt.shape[2] - ls.shape[2] == s * s * (ct - cs)):
+            out_leaves.append(expand_cond_rows(ls, np.asarray(lt)))
         else:
             raise ValueError(
                 f"ungraftable shape at {jax.tree_util.keystr(ps)}: "
                 f"{ls.shape} -> {lt.shape}")
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def graft_trimap_params(src: Dict[str, Any], cfg: ModelConfig,
+                        seed: int = 0) -> Dict[str, Any]:
+    """Transfer a non-trimap checkpoint into a trimap-conditioned config
+    (zero-init trimap rows — see graft_cond_params)."""
+    if not cfg.use_trimap:
+        raise ValueError("target config must have use_trimap=True")
+    return graft_cond_params(src, cfg, src_in_channels=3, seed=seed)
 
 
 def init_params(cfg: ModelConfig = ModelConfig(), seed: int = 0,
@@ -242,13 +260,19 @@ _CKPT_ROOT = os.path.join(
 
 #: ModelConfig axes -> shipped trained checkpoint directory name.
 _DEFAULT_CKPTS = {
-    # (use_trimap, space_to_depth, recurrent) for the base channel plan
-    (False, 1, True): "synthetic_demo",  # held-out MAD 0.0006 (quality rung)
-    (False, 2, True): "fast_demo",       # held-out MAD <=0.002 (serving rung)
-    (True, 1, False): "trimap_demo",     # held-out MAD 0.0017 (PR1 trimap,
-                                         # per-frame, non-recurrent)
-    (True, 2, True): "trimap_prop_demo",  # trimap PROPAGATION: keyframe
-                                          # trimap carried by the GRU
+    # (use_trimap, use_bg_plate, space_to_depth, recurrent) for the base
+    # channel plan
+    (False, False, 1, True): "synthetic_demo",  # held-out MAD 0.0006
+    #                                             (quality rung)
+    (False, False, 2, True): "fast_demo",  # held-out MAD <=0.002 (serving)
+    (True, False, 1, False): "trimap_demo",  # held-out MAD 0.0017 (PR1
+    #                                          trimap, per-frame,
+    #                                          non-recurrent)
+    (True, False, 2, True): "trimap_prop_demo",  # trimap PROPAGATION:
+    #                                              keyframe trimap carried
+    #                                              by the GRU
+    (False, True, 2, True): "plate_demo",  # clean-plate conditioned
+    #                                        (BGMv2 lineage), serving s2d
 }
 
 
@@ -266,7 +290,8 @@ def default_checkpoint_path(cfg: ModelConfig) -> Optional[str]:
                                                 base.dec_channels):
         return None
     name = _DEFAULT_CKPTS.get(
-        (cfg.use_trimap, cfg.space_to_depth, cfg.recurrent))
+        (cfg.use_trimap, cfg.use_bg_plate, cfg.space_to_depth,
+         cfg.recurrent))
     if name is None:
         return None
     path = os.path.join(_CKPT_ROOT, name)

@@ -52,6 +52,7 @@ class MultiStreamMatting:
                  dtype: str = "bfloat16",
                  bg_color: Optional[Tuple[float, float, float]] = None,
                  bg_blur: Optional[int] = None,
+                 bg_plate: Optional[np.ndarray] = None,
                  chunk: int = 1,
                  use_pallas: Optional[bool] = None,
                  pallas_interpret: bool = False):
@@ -67,6 +68,21 @@ class MultiStreamMatting:
             raise ValueError(
                 f"num_streams={num_streams} must divide evenly over the "
                 f"{mesh.devices.size}-device mesh (per-device local batch)")
+        if bg_plate is not None:
+            bg_plate = np.asarray(bg_plate)
+            if bg_plate.ndim == 4 and bg_plate.shape[0] != num_streams:
+                raise ValueError(
+                    f"per-stream bg_plate batch {bg_plate.shape[0]} != "
+                    f"num_streams {num_streams}")
+            if bg_plate.ndim == 4 and mesh is not None:
+                # A per-stream plate is a closure CONSTANT of the body;
+                # under shard_map constants replicate per device, so an
+                # (S, ...) plate cannot pair with the local (S/ndev, ...)
+                # shard. A SHARED plate broadcasts fine on every path.
+                raise ValueError(
+                    "per-stream bg_plate is a single-chip feature; on a "
+                    "mesh use one shared (H, W, 3) plate, or run one "
+                    "MultiStreamMatting per device group")
         self.s = num_streams
         self.h, self.w = height, width
         self.in_c = 4 if cfg.use_trimap else 3
@@ -107,7 +123,14 @@ class MultiStreamMatting:
             net, cfg, refine, height, width, downsample_ratio,
             cdtype=cdtype, bg=bg, use_pallas=use_pallas,
             need_fgr=(bg is None and not bg_blur), bg_blur=bg_blur,
-            pallas_interpret=pallas_interpret)
+            pallas_interpret=pallas_interpret,
+            # Clean-plate conditioning: one shared (H, W, 3) plate
+            # broadcasts over the stream batch on every path (under
+            # shard_map the replicated constant broadcasts to the local
+            # shard); per-stream (S, H, W, 3) plates ride the single-chip
+            # vmapped path (validated above).
+            bg_plate=(jnp.asarray(bg_plate) if bg_plate is not None
+                      else None))
         self.net_h, self.net_w = plan.net_h, plan.net_w
         self._state_hw = (plan.state_h, plan.state_w)
         self._packed = plan.packed

@@ -101,13 +101,15 @@ class PipelinedMatting:
             raise ValueError("bg_blur composites over a blur of the "
                              "source frame; it is mutually exclusive "
                              "with bg_color")
-        if cfg.use_trimap:
-            # The frame carry slot is 3-channel RGB; a 4-channel
-            # trimap-conditioned stream would mismatch the shard_map carry
-            # structure deep inside jit. Fail at construction instead.
+        if cfg.use_trimap or cfg.use_bg_plate:
+            # The frame carry slot is 3-channel RGB; a trimap-conditioned
+            # stream (4-channel frames) or a plate-conditioned model (a
+            # per-run plate constant on stage 0) would mismatch the
+            # shard_map carry structure deep inside jit. Fail at
+            # construction instead.
             raise ValueError(
-                "PipelinedMatting does not support trimap-conditioned "
-                "models (use_trimap=True); serve those through "
+                "PipelinedMatting does not support conditioned models "
+                "(use_trimap / use_bg_plate); serve those through "
                 "convert_video / MattingSession / MultiStreamMatting")
         self.h, self.w = height, width
         self.cfg = cfg

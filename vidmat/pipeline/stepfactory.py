@@ -94,6 +94,7 @@ def build_serving_body(
     alpha_only: bool = False,
     static_skip_eps: Optional[float] = None,
     bg_blur: Optional[int] = None,
+    bg_plate: Optional[jax.Array] = None,
 ) -> Tuple[Callable, ServingPlan]:
     """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
 
@@ -143,6 +144,18 @@ def build_serving_body(
               never materializes in HBM. Mutually exclusive with
               bg / bg_dynamic; ignored when float_output (that contract
               emits raw alpha+fgr, no composite).
+    bg_plate: the clean-plate family's pre-captured background plate
+              (model_cfg.use_bg_plate — BGMv2 lineage): (h, w, 3) frame
+              -dtype image (uint8; float [0,1] when float_frames), or
+              (N, h, w, 3) for per-slot plates on a batched single-chip
+              body. Ingested ONCE here through the SAME ingest path the
+              per-frame frames take (pool/resize + normalize, so the
+              plate channels are commensurate with the frame channels)
+              and baked into the program as a coarse-grid traced
+              constant: zero extra per-frame H2D and zero per-frame
+              ingest work, unlike a per-frame input channel. The guide,
+              tails, composite, and the static-skip delta all see the
+              frame channels only; the net sees ingest(frame) ++ plate.
     static_skip_eps: opt-in static-scene fast path (temporal layer
               caching in the ReFrame sense, PAPERS.md): when the ingested
               coarse frame's mean abs delta vs the previous frame is
@@ -178,6 +191,25 @@ def build_serving_body(
                          "bg_dynamic")
     net_h, net_w = ((h, w) if ratio >= 1.0
                     else downsample_ratio_shape(h, w, ratio))
+    if bg_plate is not None and not model_cfg.use_bg_plate:
+        raise ValueError(
+            "bg_plate given but the model is not plate-conditioned — "
+            "build with ModelConfig(use_bg_plate=True) (shipped "
+            "plate_demo at space_to_depth=2), or drop bg_plate")
+    if model_cfg.use_bg_plate and bg_plate is None:
+        raise ValueError(
+            "model_cfg.use_bg_plate=True needs the pre-captured clean "
+            "background plate: pass bg_plate=<(h, w, 3) image> (the "
+            "scene WITHOUT the subject)")
+    if bg_plate is not None:
+        bg_plate = jnp.asarray(bg_plate)
+        if bg_plate.ndim == 3:
+            bg_plate = bg_plate[None]
+        if bg_plate.shape[-3:] != (h, w, 3):
+            raise ValueError(
+                f"bg_plate must be ([N,] {h}, {w}, 3) matching the frame "
+                f"bucket — got {bg_plate.shape} (resize the plate to the "
+                "stream resolution on host first)")
     full = (net_h, net_w) == (h, w)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu") or pallas_interpret
@@ -296,8 +328,12 @@ def build_serving_body(
             # ref_x = +inf: the first frame's delta is +inf, forcing the
             # compute branch even on near-black content (a zero init
             # would reuse the zero coefficients whenever the first frames
-            # are within eps of black).
-            cache = (jnp.full((1, net_h, net_w, 3), jnp.inf, cdtype),
+            # are within eps of black). The reference carries the INGESTED
+            # frame channels (4 for trimap-conditioned serving — a trimap
+            # change must force recompute; the plate constant is not part
+            # of the delta).
+            ingest_c = 4 if model_cfg.use_trimap else 3
+            cache = (jnp.full((1, net_h, net_w, ingest_c), jnp.inf, cdtype),
                      jnp.zeros((1, net_h, net_w, 4), jnp.float32),  # ma
                      jnp.zeros((1, net_h, net_w, 4), jnp.float32),  # mb
                      jnp.zeros((), jnp.int32))                  # skips
@@ -335,11 +371,41 @@ def build_serving_body(
             x = resize_bilinear(x, net_h, net_w)
         return x
 
+    # Clean-plate conditioning constant: the plate takes the SAME ingest
+    # the frames do (commensurate channels), once, eagerly at build time
+    # — (N, net_h, net_w, 3) in cdtype, a baked traced constant. The
+    # plate is converted to the body's frame dtype contract first (uint8
+    # bytes, or float [0,1] for the fp32 parity stepper).
+    cond_const = None
+    if bg_plate is not None:
+        if float_frames:
+            plate_in = (bg_plate.astype(jnp.float32) / 255.0
+                        if bg_plate.dtype == jnp.uint8
+                        else bg_plate.astype(jnp.float32))
+        else:
+            plate_in = (bg_plate if bg_plate.dtype == jnp.uint8
+                        else jnp.round(jnp.clip(
+                            bg_plate.astype(jnp.float32), 0.0, 1.0)
+                            * 255.0).astype(jnp.uint8))
+        cond_const = ingest_x(plate_in)
+
+    def prep_net_input(x):
+        """Append the per-run conditioning constant (clean plate) and pad
+        to the s2d grid — the one place the net input is assembled (the
+        per-frame body, the static-skip compute branch, and the chunked
+        encoder all share it)."""
+        if cond_const is not None:
+            cc = cond_const.astype(x.dtype)
+            if cc.shape[0] == 1 and x.shape[0] != 1:
+                cc = jnp.broadcast_to(cc, x.shape[:3] + cc.shape[-1:])
+            x = jnp.concatenate([x, cc], axis=-1)
+        return (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
+                        mode="edge") if (pad_nh or pad_nw) else x)
+
     def net_from_x(variables, x, state):
         """Recurrent net forward on an ingested coarse frame."""
-        xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw), (0, 0)),
-                      mode="edge") if (pad_nh or pad_nw) else x)
-        alpha, fgr, new_state = net_apply(variables, xp, state)
+        alpha, fgr, new_state = net_apply(variables, prep_net_input(x),
+                                          state)
         alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
         fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
         return alpha, fgr, new_state
@@ -556,10 +622,7 @@ def build_serving_body(
 
             def enc_one(fr):
                 x = ingest_x(fr)
-                xp = (jnp.pad(x, ((0, 0), (0, pad_nh), (0, pad_nw),
-                                  (0, 0)), mode="edge")
-                      if (pad_nh or pad_nw) else x)
-                return x, planar_fwd.encode(variables, xp)
+                return x, planar_fwd.encode(variables, prep_net_input(x))
 
             xs, encs = jax.vmap(enc_one)(frames_u8)
 

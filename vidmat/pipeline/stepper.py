@@ -63,7 +63,8 @@ class ImageStepper:
         self._fwd = fwd
 
     def __call__(self, image: np.ndarray,
-                 trimap: Optional[np.ndarray] = None
+                 trimap: Optional[np.ndarray] = None,
+                 bg_plate: Optional[np.ndarray] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
         img = to_float_rgb(image)
         if self.cfg.use_trimap:
@@ -73,6 +74,23 @@ class ImageStepper:
             if tri.ndim == 2:
                 tri = tri[..., None]
             img = np.concatenate([img, tri], axis=-1)
+        if self.cfg.use_bg_plate:
+            if bg_plate is None:
+                raise ValueError(
+                    "model config requires the clean background plate "
+                    "(use_bg_plate=True): pass bg_plate=<(H, W, 3) image "
+                    "of the scene without the subject>")
+            plate = to_float_rgb(bg_plate)
+            if plate.shape[:2] != img.shape[:2]:
+                raise ValueError(
+                    f"bg_plate {plate.shape[:2]} must match the image "
+                    f"{img.shape[:2]}")
+            img = np.concatenate([img, plate[..., :3]], axis=-1)
+        elif bg_plate is not None:
+            raise ValueError(
+                "bg_plate given but the model is not plate-conditioned "
+                "(use_bg_plate=False); build with "
+                "ModelConfig(use_bg_plate=True, space_to_depth=2)")
         padded, h, w = pad_to_multiple(img)
         alpha, fgr = self._fwd(self.variables, jnp.asarray(padded)[None])
         alpha = np.asarray(alpha)[0, :h, :w]
@@ -105,7 +123,8 @@ class VideoStepper:
                  guided_eps: float = 1e-4,
                  static_skip_eps: Optional[float] = None,
                  tile_size: Optional[int] = None,
-                 tile_overlap: int = 128):
+                 tile_overlap: int = 128,
+                 bg_plate: Optional[np.ndarray] = None):
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16 "
                              "(pad with pipeline.stepper.pad_to_multiple)")
@@ -148,10 +167,25 @@ class VideoStepper:
             static_skip_eps=static_skip_eps,
             # 4K-rung tiled full-res refine (per-coarse-tile GF stats,
             # feather-blended coefficient grids) for streaming sessions.
-            tile_size=tile_size, tile_overlap=tile_overlap)
+            tile_size=tile_size, tile_overlap=tile_overlap,
+            # Clean-plate conditioning (use_bg_plate configs): fixed per
+            # session, ingested once by the factory, baked into the step
+            # — the factory validates presence/absence against the config.
+            bg_plate=self._prep_plate(bg_plate, height, width))
         self._plan = plan
         self._step = jax.jit(body)
         self.reset()
+
+    @staticmethod
+    def _prep_plate(bg_plate, height: int, width: int):
+        """Canonicalize a session plate to the stream bucket (the padding
+        frames get); None passes through (the factory raises if the
+        config needs one)."""
+        if bg_plate is None:
+            return None
+        from vidmat.pipeline.video import _prepare_plate_u8
+
+        return jnp.asarray(_prepare_plate_u8(bg_plate, height, width))
 
     def reset(self) -> None:
         self.state = self._plan.make_state(1)

@@ -145,6 +145,36 @@ class _BgFrameSource:
         return f
 
 
+def _prepare_plate_u8(bg_plate: Union[str, np.ndarray], h: int,
+                      w: int) -> np.ndarray:
+    """Load/canonicalize the clean background plate to (h, w, 3) uint8.
+
+    Exact-size plates pass through; plates at the pre-padding source
+    resolution get the same edge padding the frames get (<16 px per
+    axis — the canonical bucket rounding); any other size is resized
+    (INTER_AREA — a plate captured at a different resolution)."""
+    if isinstance(bg_plate, str):
+        from vidmat.io.reader import read_image
+
+        bg_plate = read_image(bg_plate)
+    p = np.asarray(bg_plate)
+    if p.ndim != 3 or p.shape[-1] < 3:
+        raise ValueError(f"bg_plate must be (H, W, 3); got {p.shape}")
+    p = p[..., :3]
+    if p.dtype != np.uint8:
+        p = np.round(np.clip(p.astype(np.float32), 0.0, 1.0)
+                     * 255.0).astype(np.uint8)
+    ph, pw = p.shape[:2]
+    if (ph, pw) != (h, w):
+        if 0 <= h - ph < 16 and 0 <= w - pw < 16:
+            p = np.pad(p, ((0, h - ph), (0, w - pw), (0, 0)), mode="edge")
+        else:
+            import cv2
+
+            p = cv2.resize(p, (w, h), interpolation=cv2.INTER_AREA)
+    return p
+
+
 def _attach_trimap(frame: np.ndarray, tri: np.ndarray,
                    frame_idx: int) -> np.ndarray:
     """Concatenate a per-frame trimap as the 4th uint8 channel.
@@ -186,6 +216,7 @@ class VideoPipeline:
                  bg_image: Optional[Union[str, np.ndarray]] = None,
                  bg_video: Optional[Union[str, object]] = None,
                  bg_blur: Optional[int] = None,
+                 bg_plate: Optional[Union[str, np.ndarray]] = None,
                  refiner_variables=None):
         """bg_image: background-replacement image — path or (H, W, 3)
         array (uint8 or float in [0, 1]); resized once to each stream's
@@ -206,7 +237,17 @@ class VideoPipeline:
         already-ingested coarse frame and, on the fused Pallas tail,
         upsampled inside the refine kernel — no full-res background ever
         materializes in HBM. Takes precedence over bg_video / bg_image /
-        bg_color."""
+        bg_color.
+
+        bg_plate: clean-plate CONDITIONING (BGMv2 lineage) — a
+        pre-captured image of the scene WITHOUT the subject, path or
+        (H, W, 3) array. Requires the plate-conditioned model family
+        (ModelConfig(use_bg_plate=True); shipped plate_demo weights load
+        automatically when variables=None). The plate is an INPUT to the
+        network (it disambiguates camouflaged/bg-colored subjects), not
+        the composite background — combine with bg_color/bg_image/... as
+        usual. Ingested once to the coarse grid and baked into the
+        jitted step: zero extra per-frame H2D (stepfactory bg_plate)."""
         self.model_cfg = model_cfg
         self.pipe_cfg = pipe_cfg or PipelineConfig()
         if variables is None:
@@ -225,6 +266,17 @@ class VideoPipeline:
         self.bg_image = bg_image
         self.bg_video = bg_video
         self.bg_blur = bg_blur
+        if model_cfg.use_bg_plate and bg_plate is None:
+            raise ValueError(
+                "ModelConfig(use_bg_plate=True) needs the pre-captured "
+                "clean background plate: pass bg_plate=<image path or "
+                "(H, W, 3) array> (the scene without the subject)")
+        if bg_plate is not None and not model_cfg.use_bg_plate:
+            raise ValueError(
+                "bg_plate given but the model is not plate-conditioned — "
+                "build with ModelConfig(use_bg_plate=True, "
+                "space_to_depth=2) (shipped plate_demo), or drop bg_plate")
+        self.bg_plate = bg_plate
         self._step_cache = {}
         cdtype = (jnp.bfloat16 if self.pipe_cfg.dtype == "bfloat16"
                   else None)
@@ -287,6 +339,8 @@ class VideoPipeline:
                     self._refiner, h, w, net_h, net_w)
             refiner = (self._refiner, self._refiner_vars)
 
+        plate = (jnp.asarray(_prepare_plate_u8(self.bg_plate, h, w))
+                 if self.bg_plate is not None else None)
         body, plan = build_serving_body(
             self.net, self.model_cfg, cfg.refine, h, w, ratio,
             cdtype=cdtype, bg=bg, use_pallas=cfg.use_pallas,
@@ -294,7 +348,7 @@ class VideoPipeline:
             tile_overlap=cfg.tile_overlap, refiner=refiner,
             bg_dynamic=bg_dynamic, alpha_only=alpha_only,
             static_skip_eps=cfg.static_skip_eps,
-            bg_blur=self.bg_blur)
+            bg_blur=self.bg_blur, bg_plate=plate)
 
         step = jax.jit(body)
         chunk_step = None

@@ -129,6 +129,50 @@ def synthetic_ambiguous_clip_batches(t: int = 4, n: int = 2, h: int = 64,
         yield clips, alphas, fgrs
 
 
+def synthetic_plate_batches(t: int = 4, n: int = 2, h: int = 64,
+                            w: int = 64, seed: int = 0,
+                            camouflage: float = 0.5,
+                            plate_jitter: float = 0.03,
+                            ) -> Iterator[Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]]:
+    """Batches for the CLEAN-PLATE conditioned model (BGMv2 lineage):
+    clips carry 3 extra input channels with the pre-captured background
+    plate (io/fixtures.synthetic_plate_frame) — constant across each
+    clip, as a real captured plate is.
+
+    camouflage: fraction of clips whose foreground is filled with
+    offset-sampled background texture — content where ONLY the plate
+    can find the subject (the measured value of plate conditioning;
+    the remainder are plain distinct-colored disks so the model also
+    learns ordinary content).
+    plate_jitter: imperfect-capture magnitude (brightness gain + noise
+    on the plate channels only) so the model tolerates plates that do
+    not match pixel-exactly.
+    """
+    from vidmat.io.fixtures import synthetic_plate_frame
+
+    rng = np.random.RandomState(seed + 3)
+    while True:
+        clips = np.zeros((t, n, h, w, 6), np.float32)
+        alphas = np.zeros((t, n, h, w, 1), np.float32)
+        fgrs = np.zeros((t, n, h, w, 3), np.float32)
+        for b in range(n):
+            s = int(rng.randint(0, 10000))
+            t0 = rng.rand()
+            camo = bool(rng.rand() < camouflage)
+            for ti in range(t):
+                frame, alpha, plate = synthetic_plate_frame(
+                    h, w, t0 + ti / 30.0, seed=s, camouflage=camo,
+                    plate_jitter=plate_jitter)
+                clips[ti, b, :, :, :3] = frame.astype(np.float32) / 255.0
+                clips[ti, b, :, :, 3:] = plate.astype(np.float32) / 255.0
+                alphas[ti, b] = alpha
+                # frame-as-foreground convention (fgr loss masked by gt
+                # alpha, so background pixels are ignored)
+                fgrs[ti, b] = clips[ti, b, :, :, :3]
+        yield clips, alphas, fgrs
+
+
 def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
                              w: int = 64, seed: int = 0,
                              keyframe: str = "off",
