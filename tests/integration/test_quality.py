@@ -184,3 +184,40 @@ def test_fast_s2d_checkpoint_quality():
     mads = [mad(sess.step(f)[0], gt)
             for f, gt in synthetic_clip(160, 160, 6, seed=987654)]
     assert np.mean(mads) < 0.0025, np.mean(mads)
+
+
+def test_plate_checkpoint_quality():
+    """The shipped clean-plate checkpoint (plate_demo) must (a) matte
+    CAMOUFLAGED content given the true plate — content the unconditioned
+    family cannot separate by pixels alone — and (b) not regress on
+    ordinary content. The wrong-plate score bounds what the plate is
+    worth: the gap between wrong-plate and true-plate MAD is the
+    measured value of the conditioning (tools/train_eval.py
+    evaluate_plate mirrors this)."""
+    ckpt = os.path.join(os.path.dirname(CKPT), "plate_demo")
+    if not os.path.isdir(ckpt):
+        pytest.skip("plate checkpoint not present")
+    from vidmat.api import MattingSession
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_plate_clip
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.utils.metrics import mad
+
+    cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+    v = load_checkpoint(ckpt, template=init_params(cfg))
+
+    def run(camo, true_plate):
+        clip = list(synthetic_plate_clip(160, 160, 6, seed=424242,
+                                         camouflage=camo))
+        plate = clip[0][2] if true_plate else clip[0][0]
+        sess = MattingSession(160, 160, variables=v, model_cfg=cfg,
+                              bg_plate=plate)
+        return float(np.mean([mad(sess.step(f)[0], gt)
+                              for f, gt, _ in clip]))
+
+    camo_plate = run(True, True)
+    plain = run(False, True)
+    camo_wrong = run(True, False)
+    assert camo_plate < 0.02, camo_plate       # plate finds the disk
+    assert plain < 0.01, plain                 # ordinary content intact
+    assert camo_wrong > 2 * camo_plate, (camo_wrong, camo_plate)

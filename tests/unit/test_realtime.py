@@ -151,3 +151,24 @@ def test_frame_iter_rejects_bad_camera(monkeypatch):
     monkeypatch.setattr(cv2, "VideoCapture", FakeCap)
     with pytest.raises(RuntimeError, match="camera"):
         list(realtime._frame_iter(3))
+
+
+def test_realtime_with_bg_plate():
+    """RealtimeMatting serves the clean-plate family (fixed camera setup
+    == exactly the pre-captured-plate scenario)."""
+    import numpy as np
+
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_plate_clip
+    from vidmat.models.weights import init_params
+    from vidmat.pipeline.realtime import RealtimeMatting
+
+    cfg = ModelConfig(use_bg_plate=True)
+    clip = list(synthetic_plate_clip(64, 64, 4, seed=6))
+    rt = RealtimeMatting(64, 64, model_cfg=cfg,
+                         variables=init_params(cfg, seed=1),
+                         downsample_ratio=1.0, dtype="float32",
+                         bg_plate=clip[0][2])
+    stats = rt.run(iter([f for f, _, _ in clip]), pace_fps=1000.0)
+    assert stats["processed"] >= 1
+    assert stats["produced"] == stats["processed"] + stats["dropped"]

@@ -216,6 +216,10 @@ def _add_live(sub):
     p.add_argument("--checkpoint")
     p.add_argument("--static-skip-eps", type=float, default=None,
                    help="static-scene fast path (see `video`)")
+    p.add_argument("--bg-plate", default=None, metavar="IMAGE",
+                   help="clean-plate conditioning (a fixed camera setup "
+                        "is exactly the case a pre-captured plate fits); "
+                        "selects the plate-conditioned model family")
 
 
 def _add_evaluate(sub):
@@ -563,10 +567,16 @@ def main(argv=None) -> int:
                      if args.checkpoint else None)
         ratio = (args.downsample_ratio if args.downsample_ratio
                  is not None else auto_downsample_ratio(h, w))
+        plate = None
+        if args.bg_plate:
+            from vidmat.io.reader import read_image
+
+            plate = read_image(args.bg_plate)
         rt = RealtimeMatting(
             h, w, variables=variables, downsample_ratio=ratio,
             static_skip_eps=args.static_skip_eps,
-            bg_color=tuple(float(x) for x in args.bg_color.split(",")))
+            bg_color=tuple(float(x) for x in args.bg_color.split(",")),
+            bg_plate=plate)
         stats = rt.run(src, output_alpha=args.output_alpha,
                        output_composition=args.output_composition,
                        pace_fps=pace, max_frames=args.max_frames,

@@ -318,9 +318,10 @@ def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
             "variables=... (a loaded checkpoint, or init_params(cfg) to "
             "explicitly opt into random weights). Shipped defaults cover "
             "the base channel plan with space_to_depth in (1, 2), the "
-            "non-recurrent per-frame trimap variant (trimap_demo), and "
-            "the recurrent trimap-propagation variant, s2d=2 "
-            "(trimap_prop_demo) — see checkpoints/.")
+            "non-recurrent per-frame trimap variant (trimap_demo), the "
+            "recurrent trimap-propagation variant, s2d=2 "
+            "(trimap_prop_demo), and the clean-plate variant, s2d=2 "
+            "(plate_demo) — see checkpoints/.")
     key = (path, cfg.recurrent)
     cached = _DEFAULT_CACHE.get(key)
     if cached is not None:

@@ -128,9 +128,14 @@ class RealtimeMatting:
                  variables=None, downsample_ratio: float = 1.0,
                  dtype: str = "bfloat16",
                  static_skip_eps: Optional[float] = None,
-                 bg_color=(0.0, 1.0, 0.0)):
+                 bg_color=(0.0, 1.0, 0.0),
+                 bg_plate=None):
         from vidmat.pipeline.stepper import VideoStepper
 
+        if bg_plate is not None and model_cfg is None:
+            # clean-plate family (BGMv2 lineage): a fixed camera setup is
+            # exactly the live-serving case a pre-captured plate fits
+            model_cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
         # Sources come at native size; serve on the /16-padded bucket and
         # crop outputs (same convention as pipeline.video).
         self.h, self.w = height, width
@@ -140,7 +145,7 @@ class RealtimeMatting:
             model_cfg or ModelConfig(), self._ph, self._pw,
             variables=variables,
             downsample_ratio=downsample_ratio, dtype=dtype,
-            static_skip_eps=static_skip_eps)
+            static_skip_eps=static_skip_eps, bg_plate=bg_plate)
         bg = jnp.asarray(bg_color, jnp.float32)
         h, w = height, width
 
