@@ -137,3 +137,30 @@ def test_default_checkpoint_covers_plate_axis():
     from vidmat.models.weights import _DEFAULT_CKPTS
 
     assert _DEFAULT_CKPTS[(False, True, 2, True)] == "plate_demo"
+
+
+def test_matte_image_plate_family_non_s2d_multiple_size():
+    """Regression: the default plate family is s2d=2, and ImageStepper
+    must pad to 16*s2d — an 80x80 image (16 mod 32) used to crash the
+    decoder skip-concat."""
+    from vidmat.api import matte_image
+
+    cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+    from vidmat.io.fixtures import synthetic_plate_frame
+
+    frame, _, plate = synthetic_plate_frame(80, 80, 0.1, seed=2)
+    alpha, fgr = matte_image(frame, bg_plate=plate, cfg=cfg,
+                             variables=init_params(cfg, seed=1))
+    assert alpha.shape == (80, 80, 1) and fgr.shape == (80, 80, 3)
+
+
+def test_plate_default_config_matches_shipped_axes():
+    """plate_default_config() must stay in sync with the plate_demo
+    entry in _DEFAULT_CKPTS (the single source of truth contract)."""
+    from vidmat.models.weights import (_DEFAULT_CKPTS,
+                                       plate_default_config)
+
+    cfg = plate_default_config()
+    key = (cfg.use_trimap, cfg.use_bg_plate, cfg.space_to_depth,
+           cfg.recurrent)
+    assert _DEFAULT_CKPTS[key] == "plate_demo"

@@ -61,7 +61,9 @@ def matte_image(image: np.ndarray, trimap: Optional[np.ndarray] = None,
                     "custom-trained combined model")
             # plate family: recurrent s2d=2 (shipped plate_demo), run for
             # one frame from a zero state like the no-trimap default
-            cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+            from vidmat.models.weights import plate_default_config
+
+            cfg = plate_default_config()
         elif variables is None and trimap is None:
             cfg = ModelConfig()  # recurrent base: shipped synthetic_demo
         else:
@@ -205,7 +207,9 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
             else:
                 model_cfg = ModelConfig(use_trimap=True, recurrent=False)
     if bg_plate is not None and model_cfg is None:
-        model_cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+        from vidmat.models.weights import plate_default_config
+
+        model_cfg = plate_default_config()
     pipeline = VideoPipeline(
         model_cfg=model_cfg or ModelConfig(),
         pipe_cfg=pipe_cfg,
@@ -246,7 +250,9 @@ class MattingSession:
 
         if bg_plate is not None and model_cfg is None:
             # clean-plate family (BGMv2 lineage): shipped plate_demo
-            model_cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+            from vidmat.models.weights import plate_default_config
+
+            model_cfg = plate_default_config()
         self._stepper = VideoStepper(
             model_cfg or ModelConfig(), height, width,
             variables=variables, downsample_ratio=downsample_ratio,

@@ -266,6 +266,15 @@ def main(argv=None) -> int:
         model_cfg = pipe_cfg = None
         if args.preset:
             model_cfg, pipe_cfg = PRESETS[args.preset]()
+        if args.bg_plate and model_cfg is not None \
+                and not model_cfg.use_bg_plate:
+            # plate conditioning is a MODEL axis: promote the preset's
+            # config to the plate family, same serving geometry (mirrors
+            # the export subcommand; bare --bg-plate with no preset is
+            # auto-selected by convert_video)
+            import dataclasses as _dc
+
+            model_cfg = _dc.replace(model_cfg, use_bg_plate=True)
         overrides = {}
         if args.static_skip_eps is not None:
             overrides["static_skip_eps"] = args.static_skip_eps
@@ -346,7 +355,9 @@ def main(argv=None) -> int:
 
             plate = read_image(args.bg_plate) if args.bg_plate else None
             if plate is not None:
-                cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+                from vidmat.models.weights import plate_default_config
+
+                cfg = plate_default_config()
             else:
                 cfg = (ModelConfig() if variables is None
                        else ModelConfig(recurrent=False))
@@ -466,11 +477,11 @@ def main(argv=None) -> int:
                               or not model_cfg.use_bg_plate):
             # plate conditioning is a MODEL axis: promote the (preset's)
             # config to the plate family (same serving geometry)
-            from vidmat.config import ModelConfig
+            from vidmat.models.weights import plate_default_config
 
             model_cfg = dataclasses.replace(
-                model_cfg or ModelConfig(space_to_depth=2,
-                                         conv_impl="planar"),
+                model_cfg or dataclasses.replace(plate_default_config(),
+                                                 conv_impl="planar"),
                 use_bg_plate=True)
         if args.chunk is not None:
             pipe_cfg = dataclasses.replace(pipe_cfg or PipelineConfig(),

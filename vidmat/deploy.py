@@ -128,6 +128,12 @@ def export_bundle(out_dir: str, height: int, width: int, *,
     from vidmat.pipeline.stepfactory import build_serving_body
     from vidmat.pipeline.video import _prepare_bg_image, auto_downsample_ratio
 
+    if bg_plate is not None and model_cfg is None:
+        # auto-select the plate family from a bare bg_plate, like every
+        # live API surface (matte_image / convert_video / MattingSession)
+        from vidmat.models.weights import plate_default_config
+
+        model_cfg = plate_default_config()
     model_cfg = model_cfg or ModelConfig()
     pipe_cfg = pipe_cfg or PipelineConfig()
     if variables is None:

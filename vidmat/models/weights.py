@@ -276,6 +276,15 @@ _DEFAULT_CKPTS = {
 }
 
 
+def plate_default_config() -> ModelConfig:
+    """The shipped clean-plate family config — the single source of truth
+    for every surface that auto-selects the plate family from a bare
+    ``bg_plate=`` argument (matte_image, convert_video, MattingSession,
+    RealtimeMatting, export_bundle, CLI). Must stay in sync with the
+    ``plate_demo`` axes in ``_DEFAULT_CKPTS``."""
+    return ModelConfig(use_bg_plate=True, space_to_depth=2)
+
+
 def default_checkpoint_path(cfg: ModelConfig) -> Optional[str]:
     """Path of the shipped trained checkpoint matching ``cfg``, or None.
 

@@ -135,7 +135,9 @@ class RealtimeMatting:
         if bg_plate is not None and model_cfg is None:
             # clean-plate family (BGMv2 lineage): a fixed camera setup is
             # exactly the live-serving case a pre-captured plate fits
-            model_cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
+            from vidmat.models.weights import plate_default_config
+
+            model_cfg = plate_default_config()
         # Sources come at native size; serve on the /16-padded bucket and
         # crop outputs (same convention as pipeline.video).
         self.h, self.w = height, width

@@ -91,7 +91,10 @@ class ImageStepper:
                 "bg_plate given but the model is not plate-conditioned "
                 "(use_bg_plate=False); build with "
                 "ModelConfig(use_bg_plate=True, space_to_depth=2)")
-        padded, h, w = pad_to_multiple(img)
+        # Space-to-depth models need the padded grid divisible by 16*s2d
+        # (the packed feature maps halve every dim again) — padding to a
+        # bare 16 crashes the decoder skip-concat on e.g. 80x80 inputs.
+        padded, h, w = pad_to_multiple(img, 16 * self.cfg.space_to_depth)
         alpha, fgr = self._fwd(self.variables, jnp.asarray(padded)[None])
         alpha = np.asarray(alpha)[0, :h, :w]
         fgr = np.asarray(fgr)[0, :h, :w]
