@@ -54,6 +54,25 @@ def test_image_parity_trimap():
     assert mad(jf, tf) <= TOL
 
 
+def test_image_parity_plate():
+    """Clean-plate family (BGMv2 lineage): 6-channel frame+plate input runs
+    the same encoder/cond plumbing in both implementations."""
+    cfg = ModelConfig(recurrent=False, use_bg_plate=True)
+    ja, jf, _, ta, tf, _ = _run_pair(cfg, h=256, w=256, seed=11)
+    assert mad(ja, ta) <= TOL
+    assert mad(jf, tf) <= TOL
+
+
+def test_image_parity_plate_trimap_s2d():
+    """Every conditioning axis at once: 7-channel trimap+plate input with
+    space_to_depth=2 (the packed cond concat is the risky path)."""
+    cfg = ModelConfig(recurrent=True, use_trimap=True, use_bg_plate=True,
+                      space_to_depth=2)
+    ja, jf, _, ta, tf, _ = _run_pair(cfg, h=256, w=256, seed=13)
+    assert mad(ja, ta) <= TOL
+    assert mad(jf, tf) <= TOL
+
+
 def test_recurrent_step_parity():
     """One recurrent step from zero state: outputs AND new state must match
     (state drift compounds over frames — SURVEY.md §7 risk list)."""
