@@ -149,6 +149,76 @@ class TestForegroundMSE:
         assert row["fgr_mse"] == pytest.approx(0.3 ** 2 / 3, rel=1e-4)
 
 
+class TestRegionRestriction:
+    """Trimap-unknown-band protocol: metrics restricted to a region mask."""
+
+    def test_all_ones_region_matches_unrestricted(self):
+        rng = np.random.RandomState(0)
+        p, t = rng.rand(24, 24).astype(np.float32), \
+            rng.rand(24, 24).astype(np.float32)
+        a = VideoEval(metrics=("mad", "mse", "sad", "grad", "conn"))
+        b = VideoEval(metrics=("mad", "mse", "sad", "grad", "conn"))
+        ra = a.update(p, t)
+        rb = b.update(p, t, region=np.ones((24, 24), bool))
+        for k in ra:
+            assert ra[k] == pytest.approx(rb[k], rel=1e-5), k
+
+    def test_error_outside_region_ignored(self):
+        t = np.zeros((16, 16), np.float32)
+        p = np.zeros((16, 16), np.float32)
+        p[0:4, 0:4] = 1.0  # error only OUTSIDE the region
+        region = np.zeros((16, 16), bool)
+        region[8:, 8:] = True
+        row = VideoEval(metrics=("mad", "sad")).update(p, t, region=region)
+        assert row["mad"] == pytest.approx(0.0, abs=1e-7)
+        assert row["sad"] == pytest.approx(0.0, abs=1e-7)
+
+    def test_mad_normalized_by_region_size(self):
+        t = np.zeros((8, 8), np.float32)
+        p = np.zeros((8, 8), np.float32)
+        region = np.zeros((8, 8), bool)
+        region[0:2, 0:2] = True  # 4 px
+        p[0, 0] = 1.0            # one wrong pixel inside
+        row = VideoEval(metrics=("mad", "sad")).update(p, t, region=region)
+        assert row["mad"] == pytest.approx(1.0 / 4.0, rel=1e-5)
+        assert row["sad"] == pytest.approx(1.0, rel=1e-5)
+
+    def test_dtssd_region_restricted(self):
+        t0 = np.zeros((8, 8), np.float32)
+        t1 = np.zeros((8, 8), np.float32)
+        p0 = np.zeros((8, 8), np.float32)
+        p1 = np.zeros((8, 8), np.float32)
+        p1[0, 0] = 1.0  # flicker outside the region
+        region = np.zeros((8, 8), bool)
+        region[4:, 4:] = True
+        ev = VideoEval(metrics=("dtssd",))
+        ev.update(p0, t0, region=region)
+        row = ev.update(p1, t1, region=region)
+        assert row["dtssd"] == pytest.approx(0.0, abs=1e-7)
+
+    def test_region_shape_mismatch_rejected(self):
+        ev = VideoEval(metrics=("mad",))
+        with pytest.raises(ValueError, match="region"):
+            ev.update(np.zeros((8, 8), np.float32),
+                      np.zeros((8, 8), np.float32),
+                      region=np.ones((4, 4), bool))
+
+    def test_trimap_unknown_region_helper(self):
+        from vidmat.eval import trimap_unknown_region
+
+        tri = np.zeros((4, 4), np.uint8)
+        tri[0, :] = 255   # fg
+        tri[1, :] = 128   # unknown
+        tri[2, :] = 50    # bg (<=0.25 of 255)
+        m = trimap_unknown_region(tri)
+        assert m.dtype == bool
+        assert m[1].all() and not m[0].any() and not m[2].any() \
+            and not m[3].any()
+        # float + channel-dim forms
+        m2 = trimap_unknown_region(np.full((4, 4, 1), 0.5, np.float32))
+        assert m2.all()
+
+
 class TestSummaryAndSequences:
     def test_summary_scaling(self):
         p = np.full((10, 10), 0.5, np.float32)
@@ -201,6 +271,33 @@ class TestCLI:
         assert len(rep["per_frame"]) == 3
         assert "dtssd" not in rep["per_frame"][0]  # first frame has no delta
         assert "dtssd" in rep["per_frame"][1]
+
+    def test_evaluate_cli_trimap_region(self, tmp_path, capsys):
+        import imageio.v3 as iio
+
+        from vidmat.cli import main
+
+        pd = tmp_path / "pred"
+        td = tmp_path / "true"
+        rd = tmp_path / "tri"
+        for d in (pd, td, rd):
+            d.mkdir()
+        for i in range(2):
+            t = np.zeros((16, 16), np.uint8)
+            p = t.copy()
+            p[0:4, 0:4] = 255            # error confined to the bg corner
+            tri = np.full((16, 16), 128, np.uint8)
+            tri[0:8, 0:8] = 0            # ...which the trimap marks KNOWN bg
+            iio.imwrite(td / f"{i:02d}.png", t)
+            iio.imwrite(pd / f"{i:02d}.png", p)
+            iio.imwrite(rd / f"{i:02d}.png", tri)
+        rc = main(["evaluate", str(pd), str(td), "--trimap", str(rd),
+                   "--metrics", "mad,sad"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["region"] == "trimap-unknown"
+        assert rep["mad"] == pytest.approx(0.0, abs=1e-6)
+        assert rep["sad"] == pytest.approx(0.0, abs=1e-6)
 
     def test_evaluate_cli_length_mismatch_errors(self, tmp_path):
         import imageio.v3 as iio

@@ -50,13 +50,26 @@ def eval_checkpoint(name: str, *, frames: int, h: int, w: int) -> dict:
         "fast_demo": ModelConfig(space_to_depth=2),
         "trimap_demo": ModelConfig(recurrent=False, use_trimap=True),
         "trimap_prop_demo": ModelConfig(use_trimap=True, space_to_depth=2),
+        "plate_demo": ModelConfig(use_bg_plate=True, space_to_depth=2),
     }
     cfg = cfgs[name]
     variables = load_checkpoint(os.path.join(REPO, "checkpoints", name),
                                 template=init_params(cfg))
     ev = VideoEval(metrics=("mad", "mse", "sad", "grad", "conn", "dtssd"))
     for seed in HELD_OUT_SEEDS:
-        if cfg.use_trimap and cfg.recurrent:
+        if cfg.use_bg_plate:
+            # Clean-plate protocol: CAMOUFLAGED clips (the disk is filled
+            # with offset background texture — only the plate can find it)
+            # with the TRUE plate conditioning the session.
+            from vidmat.io.fixtures import synthetic_plate_clip
+
+            clip = list(synthetic_plate_clip(h, w, frames, seed=seed))
+            sess = MattingSession(h, w, model_cfg=cfg, variables=variables,
+                                  bg_plate=clip[0][2])
+            for frame, gt, _ in clip:
+                alpha, _ = sess.step(frame)
+                ev.update(alpha, gt)
+        elif cfg.use_trimap and cfg.recurrent:
             # PROPAGATION protocol: gt-derived trimap on frame 0 ONLY;
             # later frames auto-fill all-unknown and the GRU carries the
             # keyframe constraint forward (the family's serving mode).
@@ -93,7 +106,7 @@ def main() -> int:
 
     rows = []
     for name in ("synthetic_demo", "fast_demo", "trimap_demo",
-                 "trimap_prop_demo"):
+                 "trimap_prop_demo", "plate_demo"):
         if not os.path.isdir(os.path.join(REPO, "checkpoints", name)):
             print(f"skip {name}: checkpoint not present", file=sys.stderr)
             continue
@@ -116,7 +129,9 @@ def main() -> int:
             "trimap_demo": "trimap-conditioned (PR1, non-recurrent)",
             "trimap_prop_demo": "keyframe trimap propagation "
                                 "(s2d=2, recurrent; trimap on frame 0 "
-                                "only)"}
+                                "only)",
+            "plate_demo": "clean-plate conditioned (s2d=2, recurrent; "
+                          "CAMOUFLAGED clips + true plate)"}
     lines = []
     for name, s in rows:
         dt = f"{s['dtssd']:.2f}" if "dtssd" in s else "—"

@@ -234,6 +234,11 @@ def _add_evaluate(sub):
                    help="comma list from mad,mse,sad,grad,conn,dtssd "
                         "(conn is the host connected-component sweep; "
                         "slow on long clips)")
+    p.add_argument("--trimap", help="trimap sequence (same source forms): "
+                                    "restricts the alpha metrics to the "
+                                    "trimap UNKNOWN band per frame — the "
+                                    "standard trimap-restricted benchmark "
+                                    "protocol")
     p.add_argument("--pred-fgr", help="predicted foreground sequence: "
                                       "adds the fgr_mse metric (alpha>0 "
                                       "region; requires --true-fgr)")
@@ -609,9 +614,10 @@ def main(argv=None) -> int:
             metrics = metrics + ("fgr_mse",)
         ev = VideoEval(metrics=metrics)
         it_true = alpha_frames(args.true)
-        from vidmat.eval import rgb_frames
+        from vidmat.eval import rgb_frames, trimap_unknown_region
         it_pf = rgb_frames(args.pred_fgr) if args.pred_fgr else None
         it_tf = rgb_frames(args.true_fgr) if args.true_fgr else None
+        it_tri = alpha_frames(args.trimap) if args.trimap else None
         n = 0
         for pred in alpha_frames(args.pred):
             true = next(it_true, None)
@@ -625,13 +631,23 @@ def main(argv=None) -> int:
                 print(f"error: foreground sequence ended at frame {n}",
                       file=sys.stderr)
                 return 1
-            ev.update(pred, true, pred_fgr=pf, true_fgr=tf)
+            region = None
+            if it_tri is not None:
+                tri = next(it_tri, None)
+                if tri is None:
+                    print(f"error: trimap sequence ended at frame {n}",
+                          file=sys.stderr)
+                    return 1
+                region = trimap_unknown_region(tri)
+            ev.update(pred, true, pred_fgr=pf, true_fgr=tf, region=region)
             n += 1
         if next(it_true, None) is not None:
             print(f"error: pred sequence ended at frame {n} while "
                   f"true continues", file=sys.stderr)
             return 1
         report = ev.summary()
+        if args.trimap:
+            report["region"] = "trimap-unknown"
         if args.per_frame:
             report["per_frame"] = [
                 {k: scale_metric(k, v) for k, v in row.items()}

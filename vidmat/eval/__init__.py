@@ -7,11 +7,12 @@ from typing import Iterator
 import numpy as np
 
 from vidmat.eval.metrics import (ALL_METRICS, VideoEval, connectivity_error,
-                                 evaluate_sequences, scale_metric)
+                                 evaluate_sequences, scale_metric,
+                                 trimap_unknown_region)
 
 __all__ = ["ALL_METRICS", "VideoEval", "connectivity_error",
-           "evaluate_sequences", "scale_metric", "alpha_frames",
-           "rgb_frames"]
+           "evaluate_sequences", "scale_metric", "trimap_unknown_region",
+           "alpha_frames", "rgb_frames"]
 
 
 def rgb_frames(path: str) -> Iterator[np.ndarray]:

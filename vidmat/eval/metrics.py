@@ -108,12 +108,40 @@ def _frame_metrics(pred: jnp.ndarray, true: jnp.ndarray,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def _frame_metrics_region(pred: jnp.ndarray, true: jnp.ndarray,
+                          region: jnp.ndarray,
+                          sigma: float = 1.4) -> Dict[str, jnp.ndarray]:
+    """Region-restricted variant of :func:`_frame_metrics` — the trimap
+    unknown-band protocol of the matting benchmarks (alphamatting.com /
+    DIM): means/sums run over ``region`` pixels only. Gradient amplitudes
+    are still computed on the FULL frame (the filters smooth across the
+    region boundary, per the standard protocol); only the error sum is
+    restricted."""
+    pred = pred.astype(jnp.float32)
+    true = true.astype(jnp.float32)
+    m = region.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    diff = pred - true
+    ga = _grad_amplitude(pred, sigma) - _grad_amplitude(true, sigma)
+    return {
+        "mad": jnp.sum(jnp.abs(diff) * m) / n,
+        "mse": jnp.sum(diff * diff * m) / n,
+        "sad": jnp.sum(jnp.abs(diff) * m),
+        "grad": jnp.sum(ga * ga * m),
+    }
+
+
 @jax.jit
 def _frame_dtssd(pred_t: jnp.ndarray, pred_tm1: jnp.ndarray,
-                 true_t: jnp.ndarray, true_tm1: jnp.ndarray) -> jnp.ndarray:
+                 true_t: jnp.ndarray, true_tm1: jnp.ndarray,
+                 region: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     d = (pred_t.astype(jnp.float32) - pred_tm1.astype(jnp.float32)) - \
         (true_t.astype(jnp.float32) - true_tm1.astype(jnp.float32))
-    return jnp.sqrt(jnp.mean(d * d))
+    if region is None:
+        return jnp.sqrt(jnp.mean(d * d))
+    m = region.astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(d * d * m) / jnp.maximum(jnp.sum(m), 1.0))
 
 
 @jax.jit
@@ -132,7 +160,8 @@ def _frame_fgr_mse(pred_fgr: jnp.ndarray, true_fgr: jnp.ndarray,
 
 
 def connectivity_error(pred: np.ndarray, true: np.ndarray,
-                       step: float = 0.1, theta: float = 0.15) -> float:
+                       step: float = 0.1, theta: float = 0.15,
+                       region: Optional[np.ndarray] = None) -> float:
     """Connectivity error (Rhemann et al. 2009), /1e3.
 
     For each threshold level the source region Omega is the largest
@@ -165,7 +194,13 @@ def connectivity_error(pred: np.ndarray, true: np.ndarray,
     pred_d = pred - l_map
     true_phi = 1.0 - true_d * (true_d >= theta)
     pred_phi = 1.0 - pred_d * (pred_d >= theta)
-    return float(np.sum(np.abs(true_phi - pred_phi)) / 1000.0)
+    err = np.abs(true_phi - pred_phi)
+    if region is not None:
+        # Region-restricted sum (the connectedness maps themselves stay
+        # global — connectivity is a whole-frame property; only the error
+        # accumulation is restricted, matching the benchmark protocol).
+        err = err * np.asarray(region, np.float32)
+    return float(np.sum(err) / 1000.0)
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +213,22 @@ _SCALES = {"mad": 1e3, "mse": 1e3, "sad": 1e-3, "grad": 1e-3,
 
 def scale_metric(name: str, value: float) -> float:
     return float(value) * _SCALES.get(name, 1.0)
+
+
+def trimap_unknown_region(trimap: np.ndarray,
+                          lo: float = 0.25, hi: float = 0.75) -> np.ndarray:
+    """Boolean unknown-band mask from a trimap frame — the region the
+    trimap-restricted benchmark protocol scores over. Accepts float [0,1]
+    or integer trimaps ((H, W) or (H, W, 1)); the byte convention matches
+    vidmat.pipeline.trimap (<=0.25 bg, >=0.75 fg, between = unknown)."""
+    t = np.asarray(trimap)
+    if t.ndim == 3 and t.shape[-1] == 1:
+        t = t[..., 0]
+    if t.ndim != 2:
+        raise ValueError(f"trimap must be (H, W) or (H, W, 1), got {t.shape}")
+    if np.issubdtype(t.dtype, np.integer):
+        t = t.astype(np.float32) / float(np.iinfo(t.dtype).max)
+    return (t > lo) & (t < hi)
 
 
 # ---------------------------------------------------------------------------
@@ -228,21 +279,39 @@ class VideoEval:
 
     def update(self, pred: np.ndarray, true: np.ndarray,
                pred_fgr: Optional[np.ndarray] = None,
-               true_fgr: Optional[np.ndarray] = None) -> Dict[str, float]:
+               true_fgr: Optional[np.ndarray] = None,
+               region: Optional[np.ndarray] = None) -> Dict[str, float]:
+        """Score one frame pair. ``region`` (optional bool/0-1 mask, same
+        H×W) restricts the alpha metrics to those pixels — pass the trimap
+        unknown band (:func:`trimap_unknown_region`) for the standard
+        trimap-restricted benchmark protocol. dtSSD pairs each transition
+        with the CURRENT frame's region; fgr_mse keeps its own alpha>0
+        support (unaffected)."""
         pred = self._canon(pred)
         true = self._canon(true)
         if pred.shape != true.shape:
             raise ValueError(f"pred {pred.shape} vs true {true.shape}")
+        if region is not None:
+            region = np.asarray(region)
+            if region.ndim == 3 and region.shape[-1] == 1:
+                region = region[..., 0]
+            if region.shape != pred.shape:
+                raise ValueError(f"region {region.shape} vs pred "
+                                 f"{pred.shape}")
+            region = region.astype(np.float32)
         row: Dict[str, float] = {}
-        dev = _frame_metrics(pred, true, sigma=self.sigma)
+        dev = (_frame_metrics(pred, true, sigma=self.sigma)
+               if region is None else
+               _frame_metrics_region(pred, true, region, sigma=self.sigma))
         for k in ("mad", "mse", "sad", "grad"):
             if k in self.metrics:
                 row[k] = float(dev[k])
         if "conn" in self.metrics:
-            row["conn"] = connectivity_error(pred, true)
+            row["conn"] = connectivity_error(pred, true, region=region)
         if "dtssd" in self.metrics and self._prev is not None:
             row["dtssd"] = float(_frame_dtssd(pred, self._prev[0],
-                                              true, self._prev[1]))
+                                              true, self._prev[1],
+                                              region))
         if "fgr_mse" in self.metrics and pred_fgr is not None \
                 and true_fgr is not None:
             row["fgr_mse"] = float(_frame_fgr_mse(
