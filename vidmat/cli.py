@@ -192,6 +192,10 @@ def _add_train(sub):
     p.add_argument("--pha-dir", help="alpha clip dirs matching --fgr-dir")
     p.add_argument("--bg-dir", help="background stills for on-the-fly "
                    "compositing (default: solid random colors)")
+    p.add_argument("--seg-every", type=int, default=0, metavar="K",
+                   help="segmentation co-training: every K-th step trains "
+                        "the shared trunk + seg head on a binary-mask "
+                        "batch (RVM-lineage interleave; 0 = off)")
 
 
 def _add_live(sub):
@@ -539,7 +543,16 @@ def main(argv=None) -> int:
             data = synthetic_clip_batches(t=args.clip_len, n=args.batch,
                                           h=args.size, w=args.size)
         cfg = ModelConfig()
-        state = train_on_clips(cfg, data, num_steps=args.steps, lr=args.lr)
+        seg_data = None
+        if args.seg_every > 0:
+            from vidmat.train.data import synthetic_seg_batches
+
+            seg_data = synthetic_seg_batches(
+                t=args.clip_len, n=args.batch, h=args.size, w=args.size,
+                seed=17)
+        state = train_on_clips(cfg, data, num_steps=args.steps, lr=args.lr,
+                               seg_data_iter=seg_data,
+                               seg_every=args.seg_every)
         save_checkpoint(args.out, state.variables)
         print(f"saved checkpoint to {args.out}")
         return 0

@@ -149,6 +149,20 @@ class MattingNetwork(nn.Module):
       state: RecurrentState or None (None = cold start, zeros).
       alpha: (N, H, W, 1) in [0, 1]
       fgr:   (N, H, W, 3) in [0, 1]
+
+    __call__(frame, state, seg_pass=True) -> (seg_logits, None, new_state)
+      Segmentation co-training pass (RVM-lineage [DOMAIN]): the SAME
+      trunk (encoder, bottleneck, recurrent decoder, d0) with a separate
+      1-channel ``seg_head`` emitting person-segmentation logits at
+      (N, H, W, 1). Training interleaves matting batches (exact synthetic
+      alpha) with segmentation batches (binary masks — the supervision
+      signal real segmentation datasets provide at scale), which trains
+      the shared trunk for subject understanding without matting-grade
+      labels; only the tiny per-head convs are task-specific. Inference
+      never takes this branch, so matting-only checkpoints (no
+      ``seg_head`` subtree) are unaffected; co-training inits via
+      ``weights.init_params(cfg, with_seg=True)`` or grafts a shipped
+      checkpoint via ``weights.graft_seg_params``.
     """
 
     cfg: ModelConfig = ModelConfig()
@@ -163,7 +177,8 @@ class MattingNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, frame: jax.Array,
-                 state: Optional[RecurrentState] = None):
+                 state: Optional[RecurrentState] = None,
+                 seg_pass: bool = False):
         cfg = self.cfg
         d = cfg.dec_channels
         eps = cfg.bn_eps
@@ -198,6 +213,15 @@ class MattingNetwork(nn.Module):
         x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
         x = ConvBNAct(d[3], bn_eps=eps, dtype=dt, bn_train=bt,
                       name="d0")(x)
+
+        if seg_pass:
+            new_state = (RecurrentState(h3=n3, h2=n2, h1=n1) if rec
+                         else state)
+            seg = nn.Conv(s2d * s2d, (3, 3), padding=((1, 1), (1, 1)),
+                          dtype=dt, name="seg_head")(x)
+            if s2d > 1:
+                seg = depth_to_space(seg, s2d)
+            return seg.astype(jnp.float32), None, new_state
 
         out = nn.Conv(4 * s2d * s2d, (3, 3), padding=((1, 1), (1, 1)),
                       dtype=dt, name="head")(x)

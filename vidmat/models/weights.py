@@ -104,11 +104,17 @@ def graft_trimap_params(src: Dict[str, Any], cfg: ModelConfig,
 
 
 def init_params(cfg: ModelConfig = ModelConfig(), seed: int = 0,
-                height: int = 64, width: int = 64) -> Dict[str, Any]:
+                height: int = 64, width: int = 64,
+                with_seg: bool = False) -> Dict[str, Any]:
     """Initialize Flax variables {'params', 'batch_stats'} for the network.
 
     Conv kernels use Flax defaults (lecun_normal); shapes are resolution-
     independent so any H, W divisible by 16 works for tracing.
+
+    with_seg=True additionally creates the ``seg_head`` params for the
+    segmentation co-training pass (matting_net seg_pass) — trunk params
+    are identical either way (flax derives per-param rngs from the module
+    path, and the trunk path is shared by both passes).
     """
     from vidmat.models.matting_net import MattingNetwork, init_state
 
@@ -117,7 +123,27 @@ def init_params(cfg: ModelConfig = ModelConfig(), seed: int = 0,
     frame = jnp.zeros((1, height, width, cfg.in_channels), jnp.float32)
     state = init_state(cfg, 1, height, width) if cfg.recurrent else None
     variables = net.init(rng, frame, state)
+    if with_seg:
+        seg_vars = net.init(rng, frame, state, seg_pass=True)
+        params = _to_mutable(variables["params"])
+        params["seg_head"] = _to_mutable(seg_vars["params"]["seg_head"])
+        variables = {"params": params,
+                     "batch_stats": variables["batch_stats"]}
     return variables
+
+
+def graft_seg_params(variables: Dict[str, Any], cfg: ModelConfig,
+                     seed: int = 0) -> Dict[str, Any]:
+    """Add a fresh ``seg_head`` to a matting checkpoint so it can enter
+    segmentation co-training (fine-tuning the trunk on real segmentation
+    data). The matting pass never reads ``seg_head``, so matting outputs
+    are bit-identical before and after the graft."""
+    params = _to_mutable(variables["params"])
+    if "seg_head" in params:
+        raise ValueError("checkpoint already has a seg_head")
+    fresh = init_params(cfg, seed=seed, with_seg=True)
+    params["seg_head"] = fresh["params"]["seg_head"]
+    return {"params": params, "batch_stats": variables["batch_stats"]}
 
 
 def randomize_bn_stats(variables: Dict[str, Any], seed: int = 1,

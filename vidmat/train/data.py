@@ -211,3 +211,28 @@ def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
             for ti in range(t)])
         clips4 = np.concatenate([clips, tri], axis=-1)
         yield clips4, alphas, fgrs
+
+def synthetic_seg_batches(t: int = 4, n: int = 2, h: int = 64, w: int = 64,
+                          seed: int = 0
+                          ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Endless iterator of segmentation co-training batches:
+    (clips (T,N,H,W,3), gt_mask (T,N,H,W,1) float {0,1}).
+
+    Stand-in for a real person-segmentation dataset (the label modality
+    RVM-lineage co-training consumes at scale): the synthetic subject's
+    binarized coverage. A real adapter plugs any (frames, binary mask)
+    source into the same iterator contract (e.g. ClipDirDataset's pha
+    thresholded at 0.5).
+    """
+    rng = np.random.RandomState(seed)
+    while True:
+        clips = np.zeros((t, n, h, w, 3), np.float32)
+        masks = np.zeros((t, n, h, w, 1), np.float32)
+        for b in range(n):
+            s = int(rng.randint(0, 10000))
+            t0 = rng.rand()
+            for ti in range(t):
+                frame, alpha = synthetic_frame(h, w, t0 + ti / 30.0, seed=s)
+                clips[ti, b] = frame.astype(np.float32) / 255.0
+                masks[ti, b] = (alpha > 0.5).astype(np.float32)
+        yield clips, masks

@@ -235,3 +235,14 @@ def with_trimaps(batches) -> Iterator[
             np.stack([alpha_to_trimap(alphas[ti, b]) for b in range(n)])
             for ti in range(t)])
         yield np.concatenate([clips, tri], axis=-1), alphas, fgrs
+
+def as_seg_batches(batches, threshold: float = 0.5) -> Iterator[
+        Tuple[np.ndarray, np.ndarray]]:
+    """Adapt a (clips, alpha, fgr) iterator into the (clips, gt_mask)
+    contract of the segmentation co-training step
+    (``loop.make_seg_train_step``): the mask is gt alpha binarized at
+    ``threshold``. Lets the directory-format dataset double as
+    segmentation supervision; a dedicated person-seg dataset (masks, no
+    alpha) plugs into the same contract directly."""
+    for clips, alphas, _ in batches:
+        yield clips, (alphas > threshold).astype(np.float32)

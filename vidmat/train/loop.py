@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vidmat.config import ModelConfig
 from vidmat.models.matting_net import MattingNetwork, init_state
-from vidmat.train.losses import matting_loss
+from vidmat.train.losses import matting_loss, segmentation_loss
 
 
 from flax import struct
@@ -120,28 +120,115 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
     )
 
 
+def make_seg_train_step(cfg: ModelConfig, optimizer=None,
+                        mesh: Optional[Mesh] = None, remat: bool = True):
+    """Build the jitted segmentation co-training step (RVM-lineage: the
+    shared trunk + ``seg_head``, BCE on binary masks — matting_net
+    seg_pass docstring).
+
+    seg_step(state, clips, gt_mask) -> (state, metrics)
+      clips:   (T, N, H, W, 3) float32
+      gt_mask: (T, N, H, W, 1) float32 in {0, 1}
+
+    Shares TrainState/opt_state with make_train_step: the param tree is
+    the with_seg tree, and each pass gets zero gradients for the other
+    pass's head (JAX returns zero cotangents for unused inputs), so one
+    optimizer drives the interleave.
+    """
+    net = MattingNetwork(cfg, bn_train=True)
+    optimizer = optimizer or make_optimizer()
+
+    def forward_clip(params, batch_stats, clips):
+        t, n, h, w, _ = clips.shape
+        state0 = init_state(cfg, n, h, w, clips.dtype)
+
+        def frame_step(carry, x):
+            state, stats = carry
+            (seg, _, new_state), mut = net.apply(
+                {"params": params, "batch_stats": stats}, x, state,
+                seg_pass=True, mutable=["batch_stats"])
+            return (new_state, mut["batch_stats"]), seg
+
+        if remat:
+            frame_step = jax.checkpoint(frame_step)
+        (_, new_stats), segs = jax.lax.scan(
+            frame_step, (state0, batch_stats), clips)
+        return segs, new_stats
+
+    def loss_fn(params, batch_stats, clips, gt_mask):
+        segs, new_stats = forward_clip(params, batch_stats, clips)
+        loss, terms = segmentation_loss(segs, gt_mask)
+        return loss, (terms, new_stats)
+
+    def seg_step(state: TrainState, clips, gt_mask):
+        (loss, (terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+            state.variables["params"], state.variables["batch_stats"],
+            clips, gt_mask)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.variables["params"])
+        params = optax.apply_updates(state.variables["params"], updates)
+        new_state = TrainState(
+            variables={"params": params,
+                       "batch_stats": jax.lax.stop_gradient(new_stats)},
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, **terms}
+
+    if mesh is None:
+        return jax.jit(seg_step)
+
+    axes = mesh.axis_names
+    data_ax = "data" if "data" in axes else axes[0]
+    sp_ax = "spatial" if "spatial" in axes else None
+    spec = NamedSharding(mesh, P(None, data_ax, None, sp_ax, None))
+    return jax.jit(seg_step, in_shardings=(None, spec, spec),
+                   out_shardings=(None, None))
+
+
 def train_on_clips(cfg: ModelConfig, data_iter, num_steps: int = 100,
                    lr: float = 1e-4, mesh: Optional[Mesh] = None,
                    variables=None, log_every: int = 10,
-                   callback=None) -> TrainState:
+                   callback=None, seg_data_iter=None,
+                   seg_every: int = 0) -> TrainState:
     """Drive the train step over an iterator of
-    (clips, gt_alpha, gt_fgr) numpy batches."""
+    (clips, gt_alpha, gt_fgr) numpy batches.
+
+    seg_data_iter + seg_every=K: every K-th step consumes a
+    (clips, gt_mask) batch from ``seg_data_iter`` through the
+    segmentation co-training step instead (RVM-lineage interleave —
+    make_seg_train_step). Requires a with_seg param tree
+    (init_params(cfg, with_seg=True) / graft_seg_params), which this
+    function inits by default when seg interleaving is on.
+    """
     from vidmat.models.weights import init_params
 
+    seg_on = seg_data_iter is not None and seg_every > 0
     optimizer = make_optimizer(lr)
-    variables = variables if variables is not None else init_params(cfg)
+    variables = (variables if variables is not None
+                 else init_params(cfg, with_seg=seg_on))
     opt_state = optimizer.init(variables["params"])
     state = TrainState(variables=variables, opt_state=opt_state)
     step_fn = make_train_step(cfg, optimizer, mesh=mesh)
+    seg_fn = make_seg_train_step(cfg, optimizer, mesh=mesh) if seg_on \
+        else None
 
     for i in range(num_steps):
-        clips, gt_alpha, gt_fgr = next(data_iter)
-        state, metrics = step_fn(state, jnp.asarray(clips),
-                                 jnp.asarray(gt_alpha), jnp.asarray(gt_fgr))
+        if seg_on and i % seg_every == seg_every - 1:
+            clips, gt_mask = next(seg_data_iter)
+            state, metrics = seg_fn(state, jnp.asarray(clips),
+                                    jnp.asarray(gt_mask))
+        else:
+            clips, gt_alpha, gt_fgr = next(data_iter)
+            state, metrics = step_fn(state, jnp.asarray(clips),
+                                     jnp.asarray(gt_alpha),
+                                     jnp.asarray(gt_fgr))
         if callback is not None:
             callback(i, jax.device_get(metrics))
         elif i % log_every == 0:
             m = jax.device_get(metrics)
-            print(f"step {i}: loss={float(m['loss']):.4f} "
-                  f"alpha={float(m['alpha']):.4f}", flush=True)
+            extra = (f"seg_bce={float(m['seg_bce']):.4f}"
+                     if "seg_bce" in m else
+                     f"alpha={float(m['alpha']):.4f}")
+            print(f"step {i}: loss={float(m['loss']):.4f} {extra}",
+                  flush=True)
     return state

@@ -123,3 +123,25 @@ def matting_loss(pred_alpha: jax.Array, pred_fgr: jax.Array,
         total = total + laplacian_weight * l_lap
         terms["laplacian"] = l_lap
     return total, terms
+
+def segmentation_loss(logits: jax.Array, gt_mask: jax.Array
+                      ) -> tuple[jax.Array, Dict]:
+    """Sigmoid BCE for the segmentation co-training pass (RVM-lineage
+    [DOMAIN]: matting batches interleave with binary-mask segmentation
+    batches that supervise the shared trunk through a separate 1-channel
+    head; real segmentation datasets provide this label at scale).
+
+    logits/gt_mask: (T, N, H, W, 1); gt_mask in {0, 1} float.
+    Returns (scalar BCE, {"seg_bce", "seg_iou"}) — IoU at threshold 0 is
+    a metric only, not part of the loss.
+    """
+    l = logits.astype(jnp.float32)
+    m = gt_mask.astype(jnp.float32)
+    # numerically stable BCE-with-logits: max(l,0) - l*m + log1p(exp(-|l|))
+    bce = jnp.mean(jnp.maximum(l, 0.0) - l * m
+                   + jnp.log1p(jnp.exp(-jnp.abs(l))))
+    pred = (l > 0.0).astype(jnp.float32)
+    inter = jnp.sum(pred * m)
+    union = jnp.sum(jnp.maximum(pred, m))
+    iou = inter / jnp.maximum(union, 1.0)
+    return bce, {"seg_bce": bce, "seg_iou": iou}
