@@ -137,6 +137,23 @@ def synthetic_clip_batches_fixed():
     return synthetic_clip_batches(t=2, n=1, h=32, w=32, seed=0)
 
 
+def test_interleave_auto_grafts_explicit_checkpoint():
+    """Passing a plain matting checkpoint into the interleave must graft
+    seg_head automatically (matting-neutral) instead of failing on the
+    first seg step."""
+    cfg = ModelConfig()
+    v0 = init_params(cfg, seed=9)  # no seg_head
+    seen = []
+    train_on_clips(cfg, synthetic_clip_batches_fixed(), num_steps=2,
+                   lr=1e-3, variables=v0,
+                   callback=lambda i, m: seen.append("seg" in
+                                                     str(sorted(m))),
+                   seg_data_iter=synthetic_seg_batches(t=2, n=1, h=32,
+                                                       w=32, seed=6),
+                   seg_every=2)
+    assert len(seen) == 2
+
+
 def test_seg_step_sharded_matches_single():
     """The mesh-sharded seg step equals the unsharded one (pure DP
     layout change) on the virtual 8-device mesh."""

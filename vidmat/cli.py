@@ -545,11 +545,23 @@ def main(argv=None) -> int:
         cfg = ModelConfig()
         seg_data = None
         if args.seg_every > 0:
-            from vidmat.train.data import synthetic_seg_batches
+            if args.fgr_dir:
+                # real data: the directory dataset doubles as seg
+                # supervision (alpha binarized; independent sampler so
+                # seg batches aren't the matting batches re-served)
+                from vidmat.train.dataset import (ClipDirDataset,
+                                                  as_seg_batches)
 
-            seg_data = synthetic_seg_batches(
-                t=args.clip_len, n=args.batch, h=args.size, w=args.size,
-                seed=17)
+                seg_data = as_seg_batches(ClipDirDataset(
+                    args.fgr_dir, args.pha_dir, bgr_root=args.bg_dir,
+                    clip_len=args.clip_len, batch=args.batch,
+                    size=args.size, seed=17).batches())
+            else:
+                from vidmat.train.data import synthetic_seg_batches
+
+                seg_data = synthetic_seg_batches(
+                    t=args.clip_len, n=args.batch, h=args.size,
+                    w=args.size, seed=17)
         state = train_on_clips(cfg, data, num_steps=args.steps, lr=args.lr,
                                seg_data_iter=seg_data,
                                seg_every=args.seg_every)

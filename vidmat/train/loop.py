@@ -200,12 +200,17 @@ def train_on_clips(cfg: ModelConfig, data_iter, num_steps: int = 100,
     (init_params(cfg, with_seg=True) / graft_seg_params), which this
     function inits by default when seg interleaving is on.
     """
-    from vidmat.models.weights import init_params
+    from vidmat.models.weights import graft_seg_params, init_params
 
     seg_on = seg_data_iter is not None and seg_every > 0
     optimizer = make_optimizer(lr)
     variables = (variables if variables is not None
                  else init_params(cfg, with_seg=seg_on))
+    if seg_on and "seg_head" not in variables["params"]:
+        # explicit matting checkpoint entering co-training: the graft is
+        # matting-neutral (bit-identical — the matting pass never reads
+        # seg_head), so do it rather than fail mid-loop
+        variables = graft_seg_params(variables, cfg)
     opt_state = optimizer.init(variables["params"])
     state = TrainState(variables=variables, opt_state=opt_state)
     step_fn = make_train_step(cfg, optimizer, mesh=mesh)
