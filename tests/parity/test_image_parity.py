@@ -147,6 +147,27 @@ def test_size_variant_parity():
         assert mad(ja, ta) <= TOL, name
 
 
+def test_with_seg_checkpoint_bridges_to_oracle():
+    """Co-trained checkpoints (seg_head present after train --seg-every)
+    must still load into the torch oracle: the bridge strips the seg_head
+    subtree (the oracle has no mirror for it, and the matting forward
+    never reads it) instead of tripping strict load_state_dict (ADVICE
+    r3)."""
+    cfg = ModelConfig(recurrent=False)
+    variables = randomize_bn_stats(
+        init_params(cfg, seed=5, with_seg=True), seed=6)
+    oracle = TorchMattingNetwork(cfg)
+    load_into_torch(oracle, variables)  # must not raise on seg_head.*
+
+    rng = np.random.RandomState(8)
+    frame = rng.rand(1, 96, 96, 3).astype(np.float32)
+    net = MattingNetwork(cfg)
+    with jax.default_matmul_precision("float32"):
+        ja, _, _ = net.apply(variables, jnp.asarray(frame), None)
+    ta, _, _ = oracle(torch.from_numpy(frame).permute(0, 3, 1, 2), None)
+    assert mad(np.asarray(ja), ta.permute(0, 2, 3, 1).numpy()) <= TOL
+
+
 def test_space_to_depth_parity():
     """TPU-first s2d packing variant: parity incl. recurrent state (state
     grids shift down by the packing factor)."""

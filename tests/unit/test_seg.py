@@ -151,7 +151,10 @@ def test_interleave_auto_grafts_explicit_checkpoint():
                    seg_data_iter=synthetic_seg_batches(t=2, n=1, h=32,
                                                        w=32, seed=6),
                    seg_every=2)
-    assert len(seen) == 2
+    # step 0 must be a matting step, step 1 the (auto-grafted) seg step —
+    # a regression that silently skips the seg branch would yield
+    # [False, False].
+    assert seen == [False, True]
 
 
 def test_seg_step_sharded_matches_single():

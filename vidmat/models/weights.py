@@ -184,6 +184,11 @@ def flax_to_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     def walk_params(d, prefix):
         for k, v in d.items():
             path = f"{prefix}.{k}" if prefix else k
+            if not prefix and k == "seg_head":
+                # Co-training head: not part of the matting forward, and
+                # the torch oracle has no mirror for it — parity tooling
+                # must accept with_seg checkpoints.
+                continue
             if isinstance(v, dict) or hasattr(v, "items"):
                 walk_params(v, path)
                 continue
@@ -201,6 +206,8 @@ def flax_to_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     def walk_stats(d, prefix):
         for k, v in d.items():
             path = f"{prefix}.{k}" if prefix else k
+            if not prefix and k == "seg_head":
+                continue
             if isinstance(v, dict) or hasattr(v, "items"):
                 walk_stats(v, path)
                 continue

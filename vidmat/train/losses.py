@@ -143,5 +143,7 @@ def segmentation_loss(logits: jax.Array, gt_mask: jax.Array
     pred = (l > 0.0).astype(jnp.float32)
     inter = jnp.sum(pred * m)
     union = jnp.sum(jnp.maximum(pred, m))
-    iou = inter / jnp.maximum(union, 1.0)
+    # Empty union (all-background batch, all-negative prediction) is a
+    # perfect prediction: IoU 1, not 0.
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-8), 1.0)
     return bce, {"seg_bce": bce, "seg_iou": iou}
