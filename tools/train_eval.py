@@ -84,6 +84,44 @@ def evaluate_ambiguous(cfg, variables) -> dict:
     return out
 
 
+def evaluate_image(cfg, variables, size: int = 96) -> float:
+    """Held-out per-frame MAD for the NON-RECURRENT (PR1) families —
+    mirrors tools/quality_report.py's ImageStepper protocol: a gt-derived
+    trimap on EVERY frame when the family is trimap-conditioned."""
+    import numpy as np
+
+    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.pipeline.stepper import ImageStepper
+    from vidmat.train.data import alpha_to_trimap
+    from vidmat.utils.metrics import mad
+
+    stepper = ImageStepper(cfg, variables=variables)
+    mads = []
+    for frame, gt in synthetic_clip(size, size, 6, seed=987654):
+        tri = alpha_to_trimap(gt[..., 0]) if cfg.use_trimap else None
+        mads.append(mad(stepper(frame, tri)[0], gt))
+    return float(np.mean(mads))
+
+
+def evaluate_ambiguous_image(cfg, variables, size: int = 96) -> float:
+    """Twin-disk MAD with a PER-FRAME trimap: on ambiguous content only
+    the trimap says which twin is the subject, so this scores whether the
+    per-frame annotation is load-bearing for the non-recurrent family."""
+    import numpy as np
+
+    from vidmat.io.fixtures import synthetic_ambiguous_clip
+    from vidmat.pipeline.stepper import ImageStepper
+    from vidmat.train.data import alpha_to_trimap
+    from vidmat.utils.metrics import mad
+
+    stepper = ImageStepper(cfg, variables=variables)
+    mads = []
+    for f, gt in synthetic_ambiguous_clip(size, size, 6, seed=24680,
+                                          target=1):
+        mads.append(mad(stepper(f, alpha_to_trimap(gt[..., 0]))[0], gt))
+    return float(np.mean(mads))
+
+
 def evaluate_plate(cfg, variables) -> dict:
     """Held-out CLEAN-PLATE scores (mirrors evaluate_ambiguous's shape).
 
@@ -151,6 +189,11 @@ def main():
                          "'keyframe' gives the trimap on frame 0 only "
                          "(propagation), 'mixed' alternates per-frame/"
                          "keyframe batches, 'perframe' every frame")
+    ap.add_argument("--recurrent", type=int, default=1,
+                    help="0 trains the NON-RECURRENT (PR1 single-image) "
+                         "family — e.g. the per-frame trimap rung; "
+                         "held-out scoring switches to the ImageStepper "
+                         "per-frame protocol")
     ap.add_argument("--plate", action="store_true",
                     help="train the CLEAN-PLATE conditioned family (BGMv2 "
                          "lineage): clips carry the background plate as 3 "
@@ -189,7 +232,11 @@ def main():
                          "combined fixture)")
     cfg = ModelConfig(space_to_depth=args.s2d,
                       use_trimap=args.trimap != "off",
-                      use_bg_plate=args.plate)
+                      use_bg_plate=args.plate,
+                      recurrent=bool(args.recurrent))
+    if not cfg.recurrent and args.trimap in ("keyframe", "mixed"):
+        raise SystemExit("keyframe propagation needs the recurrence; "
+                         "use --trimap perframe with --recurrent 0")
     warmup = min(args.warmup, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup, args.steps, end_value=args.lr * 1e-2)
@@ -273,6 +320,29 @@ def main():
                 # selection balances camouflage (the new capability) and
                 # ordinary content (must not regress) — same MAD units
                 score = pl["camo_plate"] + pl["plain"]
+                rec["wall_s"] = round(time.time() - t0, 1)
+                print(json.dumps(rec), flush=True)
+                if score < best:
+                    best = score
+                    save_checkpoint(os.path.abspath(args.out),
+                                    state.variables)
+                    print(f"saved {args.out} (score {best:.5f})",
+                          flush=True)
+                continue
+            if not cfg.recurrent:
+                # PR1 per-frame protocol (mirrors the quality gate and
+                # quality_report): score at 96 where QUALITY.md reports,
+                # plus the twin-disk per-frame-trimap task when the
+                # ambiguous curriculum is on.
+                heldout = evaluate_image(cfg, state.variables)
+                rec = {"step": i + 1,
+                       "loss": round(float(metrics["loss"]), 5),
+                       "heldout_mad": round(heldout, 5)}
+                score = heldout
+                if args.ambiguous > 0:
+                    amb = evaluate_ambiguous_image(cfg, state.variables)
+                    rec["heldout_amb_perframe"] = round(amb, 5)
+                    score = heldout + amb
                 rec["wall_s"] = round(time.time() - t0, 1)
                 print(json.dumps(rec), flush=True)
                 if score < best:
