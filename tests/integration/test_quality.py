@@ -104,7 +104,10 @@ def test_default_weights_refused_for_unshipped_config():
 
 def test_trimap_checkpoint_quality():
     """The trimap-conditioned variant (PR1 trimap rung) trained by the
-    framework must matte held-out images."""
+    framework must matte held-out images. Round-4 retrain (mixed-res
+    cosine fine-tune + ambiguous-twin curriculum, tools/train_eval.py
+    --recurrent 0): held-out MAD 0.014 -> 0.0007 @96px; gate tightened
+    0.01 -> 0.003 (VERDICT r3 item 1)."""
     ckpt = os.path.join(os.path.dirname(CKPT), "trimap_demo")
     if not os.path.isdir(ckpt):
         pytest.skip("trimap checkpoint not present")
@@ -120,7 +123,33 @@ def test_trimap_checkpoint_quality():
     frame, gt = synthetic_frame(64, 64, 0.37, seed=111)
     alpha, _ = matte_image(frame, trimap=alpha_to_trimap(gt)[..., 0],
                            variables=v, cfg=cfg)
-    assert mad(alpha, gt) < 0.01
+    assert mad(alpha, gt) < 0.003
+
+
+def test_trimap_checkpoint_trimap_is_load_bearing():
+    """On the AMBIGUOUS twin-disk task only the per-frame trimap says
+    which twin is the subject: the retrained checkpoint must matte the
+    designated twin (the annotation is load-bearing, not decorative)."""
+    ckpt = os.path.join(os.path.dirname(CKPT), "trimap_demo")
+    if not os.path.isdir(ckpt):
+        pytest.skip("trimap checkpoint not present")
+    import numpy as np
+
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_ambiguous_clip
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.pipeline.stepper import ImageStepper
+    from vidmat.train.data import alpha_to_trimap
+    from vidmat.utils.metrics import mad
+
+    cfg = ModelConfig(use_trimap=True, recurrent=False)
+    stepper = ImageStepper(cfg, variables=load_checkpoint(
+        ckpt, template=init_params(cfg)))
+    for target in (0, 1):
+        mads = [mad(stepper(f, alpha_to_trimap(gt[..., 0]))[0], gt)
+                for f, gt in synthetic_ambiguous_clip(
+                    96, 96, 4, seed=24680, target=target)]
+        assert np.mean(mads) < 0.003, (target, np.mean(mads))
 
 
 def test_errormap_refiner_checkpoint_improves_upsample():

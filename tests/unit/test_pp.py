@@ -137,16 +137,103 @@ def test_pipelined_bg_blur_matches_single_device():
                          pallas_interpret=True)
 
 
-def test_pipelined_rejects_trimap_models():
-    """The PP frame carry slot is 3-channel RGB; a trimap-conditioned
-    config must fail loudly at construction instead of with a carry
-    structure mismatch deep inside jit."""
+def test_pipelined_trimap_matches_single_device():
+    """The trimap-conditioned family through the 2-stage pipeline: the
+    trimap byte rides the frame (4-channel carry slot sized from the
+    config — VERDICT r3 item 4), so pipelined serving must match
+    single-device serving on identical 4-channel frames."""
     from vidmat.models.weights import init_params
 
     cfg = ModelConfig(use_trimap=True, space_to_depth=2,
                       conv_impl="planar")
-    with pytest.raises(ValueError, match="trimap"):
-        PipelinedMatting(64, 64, _mesh2(), cfg=cfg,
-                         variables=init_params(cfg),
-                         downsample_ratio=0.25,
-                         pallas_interpret=True)
+    h = w = 64
+    v = init_params(cfg)
+    pp = PipelinedMatting(h, w, _mesh2(), cfg=cfg, variables=v,
+                          dtype="float32", downsample_ratio=0.25,
+                          bg_color=BG, pallas_interpret=True)
+    one = MultiStreamMatting(1, h, w, cfg=cfg, variables=v,
+                             dtype="float32", pallas_interpret=True,
+                             use_pallas=True, downsample_ratio=0.25,
+                             bg_color=BG)
+    rng = np.random.RandomState(5)
+    frames = []
+    for i in range(4):
+        rgb = rng.randint(0, 255, (h, w, 3), np.uint8)
+        tri = rng.choice([0, 128, 255], (h, w, 1)).astype(np.uint8)
+        frames.append(np.concatenate([rgb, tri], axis=-1))
+    ref = [one.step(f[None]) for f in frames]
+    outs = list(pp.convert(frames))
+    assert len(outs) == len(frames)
+    for (a_pp, rgba_pp), (a_1, rgba_1) in zip(outs, ref):
+        assert np.abs(rgba_pp.astype(int) - rgba_1[0].astype(int)).max() <= 1
+
+
+def test_pipelined_plate_matches_single_device():
+    """The clean-plate family through the pipeline: the plate is a
+    stage-0 traced constant (nothing rides the carry/ring), so pipelined
+    output must match single-device plate serving."""
+    from vidmat.models.weights import init_params
+
+    cfg = ModelConfig(use_bg_plate=True, space_to_depth=2,
+                      conv_impl="planar")
+    h = w = 64
+    v = init_params(cfg)
+    rng = np.random.RandomState(9)
+    plate = rng.randint(0, 255, (h, w, 3), np.uint8)
+    pp = PipelinedMatting(h, w, _mesh2(), cfg=cfg, variables=v,
+                          dtype="float32", downsample_ratio=0.25,
+                          bg_color=BG, bg_plate=plate,
+                          pallas_interpret=True)
+    one = MultiStreamMatting(1, h, w, cfg=cfg, variables=v,
+                             dtype="float32", pallas_interpret=True,
+                             use_pallas=True, downsample_ratio=0.25,
+                             bg_color=BG, bg_plate=plate)
+    frames = _frames(4, h, w, seed=11)
+    ref = [one.step(f[None]) for f in frames]
+    outs = list(pp.convert(frames))
+    assert len(outs) == len(frames)
+    for (a_pp, rgba_pp), (a_1, rgba_1) in zip(outs, ref):
+        assert np.abs(rgba_pp.astype(int) - rgba_1[0].astype(int)).max() <= 1
+
+
+def test_pipelined_streams_dp_x_pp():
+    """DP×PP composition (VERDICT r3 item 3): 4 streams × 2 stages over
+    the full 8-device virtual mesh in ONE SPMD program, each stream
+    bit-matching single-device serving (±1 u8 across separately compiled
+    programs), per-frame and chunked."""
+    from vidmat.parallel.pp import PipelinedStreams
+
+    cfg = ModelConfig(conv_impl="planar")
+    h = w = 64
+    s = 4
+    mesh = make_mesh(("stream", "pp"), (s, 2))
+    pps = PipelinedStreams(s, h, w, mesh, cfg=cfg, dtype="float32",
+                           downsample_ratio=0.5, bg_color=BG,
+                           pallas_interpret=True)
+    one = MultiStreamMatting(s, h, w, cfg=cfg, variables=pps.variables,
+                             dtype="float32", pallas_interpret=True,
+                             use_pallas=True, downsample_ratio=0.5,
+                             bg_color=BG)
+    rng = np.random.RandomState(21)
+    rounds = [rng.randint(0, 255, (s, h, w, 3), np.uint8)
+              for _ in range(5)]
+    ref = [one.step(r) for r in rounds]
+
+    outs = list(pps.convert(rounds))
+    assert len(outs) == len(rounds)
+    for (a_pp, rgba_pp), (a_1, rgba_1) in zip(outs, ref):
+        assert rgba_pp.shape == (s, h, w, 4)
+        assert np.abs(rgba_pp.astype(int) - rgba_1.astype(int)).max() <= 1
+
+    # chunked dispatch (lax.scan inside the 2-axis shard_map)
+    ppk = PipelinedStreams(s, h, w, mesh, cfg=cfg,
+                           variables=pps.variables, dtype="float32",
+                           downsample_ratio=0.5, bg_color=BG, chunk=2,
+                           pallas_interpret=True)
+    outk = list(ppk.convert(rounds))
+    assert len(outk) == len(rounds)
+    for (a1, r1), (ak, rk) in zip(outs, outk):
+        assert np.abs(r1.astype(int) - rk.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError, match="num_streams"):
+        PipelinedStreams(3, h, w, mesh, cfg=cfg, pallas_interpret=True)

@@ -38,6 +38,10 @@ def __getattr__(name):
         from vidmat.parallel.pp import PipelinedMatting
 
         return PipelinedMatting
+    if name == "PipelinedStreams":
+        from vidmat.parallel.pp import PipelinedStreams
+
+        return PipelinedStreams
     if name == "MattingNetwork":
         from vidmat.models.matting_net import MattingNetwork
 

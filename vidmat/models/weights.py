@@ -298,9 +298,10 @@ _DEFAULT_CKPTS = {
     (False, False, 1, True): "synthetic_demo",  # held-out MAD 0.0006
     #                                             (quality rung)
     (False, False, 2, True): "fast_demo",  # held-out MAD <=0.002 (serving)
-    (True, False, 1, False): "trimap_demo",  # held-out MAD 0.0017 (PR1
-    #                                          trimap, per-frame,
-    #                                          non-recurrent)
+    (True, False, 1, False): "trimap_demo",  # held-out MAD 0.0007 @96px
+    #                                          (PR1 trimap, per-frame,
+    #                                          non-recurrent; r4 mixed-res
+    #                                          + ambiguous-twin retrain)
     (True, False, 2, True): "trimap_prop_demo",  # trimap PROPAGATION:
     #                                              keyframe trimap carried
     #                                              by the GRU

@@ -1,4 +1,4 @@
-"""Pipeline-parallel stage overlap for single-stream serving (SURVEY.md
+"""Pipeline-parallel stage overlap for recurrent-stream serving (SURVEY.md
 §2.2 "PP": optional stage-pipelining of ingest→net→refine→composite across
 cores — the one parallelism axis left optional in the MVP).
 
@@ -19,25 +19,41 @@ at a latency cost of exactly one frame.
 
 TPU-native shape of the implementation (how, not what):
 
-- One SPMD program under ``jax.shard_map`` over a 2-device ``('pp',)``
-  mesh axis. The per-device stage is selected at runtime by
-  ``lax.cond(lax.axis_index('pp') == 0, ...)`` — XLA's conditional
-  executes only the taken branch, so each device pays only its stage's
-  cost. Both branches return identically-shaped dummies for the other
-  stage's outputs (a zero-filled packed frame on device 0, zero coeff
-  grids on device 1; ~0.01 ms of HBM writes at 1080p — noise).
+- One SPMD program under ``jax.shard_map``. The per-device stage is
+  selected at runtime by ``lax.cond(lax.axis_index('pp') == 0, ...)`` —
+  XLA's conditional executes only the taken branch, so each device pays
+  only its stage's cost. Both branches return identically-shaped dummies
+  for the other stage's outputs (a zero-filled packed frame on device 0,
+  zero coeff grids on device 1; ~0.01 ms of HBM writes at 1080p — noise).
 - The stage handoff is a ``lax.ppermute`` ring shift of the coarse
   coefficient grids (2 × (1, H/pool, W/pool, 4) f32 — ~4 MB at 1080p,
   ~0.05 ms on a v5e ICI link). Collectives sit OUTSIDE the cond: every
   device reaches them every step.
-- The input frame arrives replicated (both devices need it: device 0
-  ingests it, device 1 stores it for next step's refine); per-device
-  carry (recurrent state on device 0; pending frame + coeffs on
-  device 1) is a pytree stacked on a leading pp axis and sharded over it.
+- The input frame arrives replicated along 'pp' (both devices need it:
+  device 0 ingests it, device 1 stores it for next step's refine);
+  per-device carry (recurrent state on device 0; pending frame + coeffs
+  on device 1) is a pytree stacked on a leading pp axis and sharded over
+  it.
 - ``chunk=K`` wraps the step in ``lax.scan`` inside the shard_map — the
   pipeline streams through the chunk with the same one-frame skew, and
   the per-dispatch floor is amortized K-fold exactly as in
   pipeline/video.py.
+
+DP×PP composition (``PipelinedStreams``): the pipelined pair generalizes
+to S independent streams over a 2-axis ``('stream', 'pp')`` mesh of S×2
+devices — one SPMD program where the stream axis shards the frame batch
+(pure DP, zero cross-stream communication) and each stream-row runs the
+2-stage cond/ppermute pipeline above (``ppermute`` over a named axis
+permutes within each row of the mesh). N streams over 2N chips, each at
+pipelined throughput. ``PipelinedMatting`` is the S=1 adapter preserving
+the single-stream (H, W, 3) API on a plain 2-device mesh.
+
+Conditioned families ride along: a trimap-conditioned model takes
+(H, W, 4) uint8 frames (RGB + the {0, 128, 255} trimap byte — the same
+convention as MultiStreamMatting / the stepfactory body), sizing the
+pending-frame carry slot accordingly; the clean-plate family's plate is a
+stage-0 build-time constant (``bg_plate=`` — stepfactory ``cond_const``),
+so it never touches the carry or the ppermute ring at all.
 
 The stage functions are ``ServingPlan.fused_stage0/1`` — the SAME
 closures the one-shot serving body composes — so pipelined outputs are
@@ -69,49 +85,50 @@ from vidmat.models.weights import default_variables
 from vidmat.pipeline.stepfactory import build_serving_body
 
 
-class PipelinedMatting:
-    """Two-device stage-pipelined serving of ONE recurrent stream.
+class PipelinedStreams:
+    """S independent recurrent streams, each 2-stage pipelined: the DP×PP
+    composition over a ``('stream', 'pp')`` mesh of S×2 devices.
 
-    step(frame_u8 (H, W, 3)) -> (alpha (H, W, 1), rgba (H, W, 4)) for the
-    PREVIOUS frame (None on the first call — pipeline fill); flush()
-    drains the last in-flight frame. convert(frames) hides the skew and
-    yields one aligned output per input frame.
+    step(frames_u8 (S, H, W, C)) -> (alpha (S, H, W, 1),
+    rgba (S, H, W, 4)) for the PREVIOUS round (None on the first call —
+    pipeline fill); flush() drains the last in-flight round. convert()
+    hides the skew and yields one aligned (alpha, rgba) round per input
+    round. C is 3 (RGB) or 4 for a trimap-conditioned ``cfg`` (RGB plus
+    a uint8 {0, 128, 255} trimap channel — MultiStreamMatting's frame
+    convention).
     """
 
-    def __init__(self, height: int, width: int, mesh: Mesh,
+    def __init__(self, num_streams: int, height: int, width: int,
+                 mesh: Mesh,
                  cfg: ModelConfig = ModelConfig(), variables=None,
                  downsample_ratio: float = 0.25,
                  refine: RefineConfig = RefineConfig(),
                  dtype: str = "bfloat16",
                  bg_color: Optional[Tuple[float, float, float]] = None,
                  bg_blur: Optional[int] = None,
+                 bg_plate: Optional[np.ndarray] = None,
                  tile_size: Optional[int] = None,
                  tile_overlap: int = 64,
                  chunk: int = 1,
                  use_pallas: Optional[bool] = None,
                  pallas_interpret: bool = False):
-        if mesh.devices.size != 2 or len(mesh.axis_names) != 1:
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if (len(mesh.axis_names) != 2
+                or mesh.devices.shape[1] != 2
+                or mesh.devices.shape[0] != num_streams):
             raise ValueError(
-                "PipelinedMatting needs a 1-axis mesh of exactly 2 devices "
-                f"(got shape {dict(zip(mesh.axis_names, mesh.devices.shape))});"
-                " for >2 devices run pipelined pairs under multi-stream DP")
+                f"PipelinedStreams needs a ('stream', 'pp')-shaped 2-axis "
+                f"mesh of num_streams x 2 devices; got num_streams="
+                f"{num_streams}, mesh {shape}")
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16")
         if bg_blur and bg_color is not None:
             raise ValueError("bg_blur composites over a blur of the "
                              "source frame; it is mutually exclusive "
                              "with bg_color")
-        if cfg.use_trimap or cfg.use_bg_plate:
-            # The frame carry slot is 3-channel RGB; a trimap-conditioned
-            # stream (4-channel frames) or a plate-conditioned model (a
-            # per-run plate constant on stage 0) would mismatch the
-            # shard_map carry structure deep inside jit. Fail at
-            # construction instead.
-            raise ValueError(
-                "PipelinedMatting does not support conditioned models "
-                "(use_trimap / use_bg_plate); serve those through "
-                "convert_video / MattingSession / MultiStreamMatting")
+        self.s = num_streams
         self.h, self.w = height, width
+        self.in_c = 4 if cfg.use_trimap else 3
         self.cfg = cfg
         self.variables = jax.tree_util.tree_map(
             jnp.asarray, variables if variables is not None
@@ -128,7 +145,12 @@ class PipelinedMatting:
             net, cfg, refine, height, width, downsample_ratio,
             cdtype=cdtype, bg=bg, use_pallas=use_pallas,
             tile_size=tile_size, tile_overlap=tile_overlap,
-            bg_blur=bg_blur, pallas_interpret=pallas_interpret)
+            bg_blur=bg_blur, pallas_interpret=pallas_interpret,
+            # The clean plate is a stage-0 traced constant (stepfactory
+            # cond_const): replicated per device, consumed only by the
+            # coarse branch — nothing rides the carry or the ring.
+            bg_plate=(jnp.asarray(bg_plate) if bg_plate is not None
+                      else None))
         if plan.fused_stage0 is None:
             raise ValueError(
                 "pipeline-parallel serving needs the fully fused tail: an "
@@ -138,8 +160,7 @@ class PipelinedMatting:
                 f"use_pallas={use_pallas})")
         stage0, stage1 = plan.fused_stage0, plan.fused_stage1
         self._plan = plan
-        hl, wl = plan.net_h, plan.net_w
-        ax = mesh.axis_names[0]
+        s_ax, ax = mesh.axis_names
         h_, w_ = height, width
 
         use_blur = self._use_blur = bool(bg_blur)
@@ -183,8 +204,9 @@ class PipelinedMatting:
                 ma, mb, out, ns = jax.lax.cond(idx == 0, coarse,
                                                refine_prev, None)
             # Handoff OUTSIDE the cond (every device participates): ring-
-            # shift the coefficient grids one hop; device 1 receives the
-            # grids it will apply next step, device 0 receives zeros.
+            # shift the coefficient grids one hop within the stream row;
+            # device 1 receives the grids it will apply next step,
+            # device 0 receives zeros.
             perm = [(0, 1), (1, 0)]
             ra = jax.lax.ppermute(ma, ax, perm)
             rb = jax.lax.ppermute(mb, ax, perm)
@@ -198,30 +220,42 @@ class PipelinedMatting:
             return out[None], new_carry
 
         self.chunk = max(1, chunk)
+        strip = jax.tree_util.tree_map
         if self.chunk == 1:
-            def step(variables, frame_u8, carry):
-                return local_step(variables, frame_u8, carry)
+            def step(variables, frames_u8, carry):
+                # local shapes: frames (1, 1, H, W, C) [stream, N, ...],
+                # carry leaves (1, 1, ...) [stream, pp, ...] — strip the
+                # stream axis, run the pp-local step, re-add it.
+                c = strip(lambda l: l[0], carry)
+                out, nc = local_step(variables, frames_u8[0], c)
+                return out[None], strip(lambda l: l[None], nc)
         else:
             def step(variables, frames_u8, carry):
-                def sbody(c, f):
-                    out, nc = local_step(variables, f, c)
-                    return nc, out
-                new_carry, outs = jax.lax.scan(sbody, carry, frames_u8)
-                return outs, new_carry
+                # local frames: (K, 1, 1, H, W, C) [K, stream, N, ...] —
+                # strip the stream axis (axis 1), scan over K.
+                c = strip(lambda l: l[0], carry)
 
-        rep, sh = P(), P(ax)
-        # Chunked outputs carry the scan's K axis in front; the pp axis
-        # (device 1 holds the real frames) is axis 1 there, axis 0 for
-        # the per-frame step.
-        out_sh = sh if self.chunk == 1 else P(None, ax)
+                def sbody(cc, f):
+                    out, ncc = local_step(variables, f, cc)
+                    return ncc, out
+
+                nc, outs = jax.lax.scan(sbody, c, frames_u8[:, 0])
+                return outs[:, None], strip(lambda l: l[None], nc)
+
+        rep, sh = P(), P(s_ax, ax)
+        # Frames shard over 'stream' and replicate over 'pp'; chunked
+        # tensors carry the scan's K axis in front.
+        f_sh = P(s_ax) if self.chunk == 1 else P(None, s_ax)
+        out_sh = P(s_ax, ax) if self.chunk == 1 else P(None, s_ax, ax)
         # check_vma=False: pallas_call outputs carry no varying-mesh-axis
         # annotation, and the replicated frame is intentionally stored
         # into the per-device (sharded) carry.
         self._step = jax.jit(jax.shard_map(
-            step, mesh=mesh, in_specs=(rep, rep, sh),
+            step, mesh=mesh, in_specs=(rep, f_sh, sh),
             out_specs=(out_sh, sh), check_vma=False))
         self.mesh = mesh
-        self._sharding = NamedSharding(mesh, P(ax))
+        self._sharding = NamedSharding(mesh, sh)
+        self._frame_sharding = NamedSharding(mesh, f_sh)
         self._fed = 0
         self._last = None
         self.reset()
@@ -231,87 +265,104 @@ class PipelinedMatting:
         plan = self._plan
         hl, wl = plan.net_h, plan.net_w
         st = plan.make_state(1)
+        s = self.s
+
+        def stack(l):
+            # (S, 2, ...) — per-stream, per-stage private slots (all-zero
+            # at reset; device 0's slice is the live recurrent state).
+            return jnp.zeros((s, 2) + l.shape, l.dtype)
+
         carry = (
-            jax.tree_util.tree_map(
-                lambda l: jnp.stack([l, jnp.zeros_like(l)]), st),
-            jnp.zeros((2, 1, hl, wl, 4), jnp.float32),
-            jnp.zeros((2, 1, hl, wl, 4), jnp.float32),
-            *((jnp.zeros((2, 1, hl, wl, 3), jnp.float32),)
+            jax.tree_util.tree_map(stack, st),
+            jnp.zeros((s, 2, 1, hl, wl, 4), jnp.float32),
+            jnp.zeros((s, 2, 1, hl, wl, 4), jnp.float32),
+            *((jnp.zeros((s, 2, 1, hl, wl, 3), jnp.float32),)
               if self._use_blur else ()),
-            jnp.zeros((2, 1, self.h, self.w, 3), jnp.uint8),
+            jnp.zeros((s, 2, 1, self.h, self.w, self.in_c), jnp.uint8),
         )
         self._carry = jax.device_put(carry, self._sharding)
         self._fed = 0
         self._last = None
 
-    def _dispatch(self, frames_u8: jnp.ndarray) -> np.ndarray:
-        """Run one (possibly chunked) device step; returns host RGBA
-        (K, H, W, 4) in feed order — entry k is the output for the frame
-        fed one step BEFORE frames_u8[k]."""
+    def _check_channels(self, frames_u8) -> None:
+        if frames_u8.shape[-1] != self.in_c:
+            kind = ("trimap-conditioned (RGB + trimap channel)"
+                    if self.in_c == 4 else "RGB")
+            raise ValueError(
+                f"frames have {frames_u8.shape[-1]} channels; this "
+                f"{kind} model takes {self.in_c}")
+
+    def _dispatch(self, rounds_u8: np.ndarray) -> np.ndarray:
+        """Run one (possibly chunked) device step on (K, S, H, W, C)
+        rounds; returns host RGBA (K, S, H, W, 4) in feed order — round k
+        is the output for the round fed one step BEFORE rounds_u8[k]."""
+        self._check_channels(rounds_u8)
         if self.chunk > 1:
-            # scan carries the (N=1) batch axis per step: (K, 1, H, W, 3)
-            frames_u8 = frames_u8[:, None]
-        out, self._carry = self._step(self.variables, frames_u8,
-                                      self._carry)
-        # out: chunk==1 -> (2, 1, H, W); chunk=K -> (K, 2, 1, H, W) with
-        # the pp axis stacked by the out_spec. Keep device 1's slice.
+            x = jnp.asarray(rounds_u8[:, :, None])   # (K, S, 1, H, W, C)
+        else:
+            x = jnp.asarray(rounds_u8[0][:, None])   # (S, 1, H, W, C)
+        x = jax.device_put(x, self._frame_sharding)
+        out, self._carry = self._step(self.variables, x, self._carry)
+        # out: chunk==1 -> (S, 2, 1, H, W); chunk=K -> (K, S, 2, 1, H, W).
+        # Keep the pp=1 (refine-stage) column.
         packed = np.asarray(out)
-        packed = packed[:, 1, 0] if packed.ndim == 5 else packed[1]
+        packed = (packed[:, :, 1, 0] if packed.ndim == 6
+                  else packed[None, :, 1, 0])
         from vidmat.ops.pallas.composite_kernel import unpack_rgba_host
 
         return unpack_rgba_host(packed)
 
-    def step(self, frame_u8: np.ndarray
+    def step(self, frames_u8: np.ndarray
              ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """Feed one (H, W, 3) uint8 frame; returns (alpha (H, W, 1),
-        rgba (H, W, 4)) for the PREVIOUS frame, or None on the first call
-        while the pipeline fills. chunk must be 1 for the streaming step;
-        use convert() for chunked throughput mode."""
+        """Feed one (S, H, W, C) uint8 round; returns (alpha (S, H, W, 1),
+        rgba (S, H, W, 4)) for the PREVIOUS round, or None on the first
+        call while the pipeline fills. chunk must be 1 for the streaming
+        step; use convert() for chunked throughput mode."""
         if self.chunk != 1:
             raise ValueError("step() is the chunk=1 streaming API; "
                              "use convert() with chunk>1")
-        rgba = self._dispatch(jnp.asarray(frame_u8[None]))[0]
+        rgba = self._dispatch(np.asarray(frames_u8)[None])[0]
         self._fed += 1
-        self._last = np.asarray(frame_u8)
+        self._last = np.asarray(frames_u8)
         if self._fed == 1:
             return None
         return rgba[..., 3:4], rgba
 
     def flush(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """Drain the in-flight frame (re-feeds the last frame to advance
+        """Drain the in-flight round (re-feeds the last round to advance
         the pipe; its stage-0 work is discarded)."""
         if self._fed == 0 or self._last is None:
             return None
-        rgba = self._dispatch(jnp.asarray(self._last[None]))[0]
+        rgba = self._dispatch(self._last[None])[0]
         return rgba[..., 3:4], rgba
 
-    def convert(self, frames: Iterable[np.ndarray]
+    def convert(self, rounds: Iterable[np.ndarray]
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Pipeline a whole clip: yields (alpha, rgba) aligned 1:1 with
-        the input frames (the 1-frame skew and the tail drain are handled
-        internally). Resets state first; terminal — the pipeline is
-        drained when the iterator ends."""
+        """Pipeline a whole clip of (S, H, W, C) rounds: yields
+        (alpha, rgba) aligned 1:1 with the input rounds (the 1-round skew
+        and the tail drain are handled internally). Resets state first;
+        terminal — the pipeline is drained when the iterator ends."""
         self.reset()
         # Global output index: output k is the refinement of input k-1
-        # (input 0.. n-1 real, n.. pad repeats of the last frame), so the
+        # (input 0.. n-1 real, n.. pad repeats of the last round), so the
         # aligned outputs are exactly 1 <= k <= n.
         k = 0
         n_seen = 0
         buf: list = []
         last = None
 
-        def run(chunk_frames, n_total=None):
+        def run(chunk_rounds, n_total=None):
             nonlocal k
-            out = self._dispatch(jnp.asarray(np.stack(chunk_frames)))
-            self._fed += len(chunk_frames)
+            out = self._dispatch(np.stack(chunk_rounds))
+            self._fed += len(chunk_rounds)
             for rgba in out:
                 if k >= 1 and (n_total is None or k <= n_total):
                     yield rgba[..., 3:4], rgba
                 k += 1
 
-        for f in frames:
-            buf.append(f)
-            last = f
+        for f in rounds:
+            buf.append(np.asarray(f))
+            last = buf[-1]
             n_seen += 1
             if len(buf) == self.chunk:
                 yield from run(buf)
@@ -320,8 +371,45 @@ class PipelinedMatting:
             return
         # Drain: at least one extra fed position pushes the final output
         # out; pad the (possibly empty) trailing chunk with repeats of
-        # the last frame. Their stage-0 work is discarded by the k-index
+        # the last round. Their stage-0 work is discarded by the k-index
         # gate above.
         pad = (self.chunk - len(buf)) or self.chunk
         buf.extend([last] * pad)
         yield from run(buf, n_total=n_seen)
+
+
+class PipelinedMatting(PipelinedStreams):
+    """Two-device stage-pipelined serving of ONE recurrent stream: the
+    S=1 adapter over PipelinedStreams, preserving the single-stream
+    (H, W, C) frame API on a plain 1-axis 2-device mesh.
+
+    step(frame_u8 (H, W, C)) -> (alpha (H, W, 1), rgba (H, W, 4)) for the
+    PREVIOUS frame (None on the first call — pipeline fill); flush()
+    drains the last in-flight frame. convert(frames) hides the skew and
+    yields one aligned output per input frame.
+    """
+
+    def __init__(self, height: int, width: int, mesh: Mesh, **kwargs):
+        if mesh.devices.size != 2 or len(mesh.axis_names) != 1:
+            raise ValueError(
+                "PipelinedMatting needs a 1-axis mesh of exactly 2 devices "
+                f"(got shape {dict(zip(mesh.axis_names, mesh.devices.shape))});"
+                " for N streams x 2 stages use PipelinedStreams on a "
+                "('stream', 'pp') mesh of Nx2 devices")
+        m2 = Mesh(mesh.devices.reshape(1, 2), ("stream", mesh.axis_names[0]))
+        super().__init__(1, height, width, m2, **kwargs)
+
+    def step(self, frame_u8: np.ndarray
+             ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        r = super().step(np.asarray(frame_u8)[None])
+        return None if r is None else (r[0][0], r[1][0])
+
+    def flush(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        r = super().flush()
+        return None if r is None else (r[0][0], r[1][0])
+
+    def convert(self, frames: Iterable[np.ndarray]
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for alpha, rgba in super().convert(
+                np.asarray(f)[None] for f in frames):
+            yield alpha[0], rgba[0]
