@@ -1,0 +1,135 @@
+"""Co-train the segmentation head -> checkpoints/seg_demo.
+
+RVM-lineage co-training (SURVEY.md §1.1 [DOMAIN]; matting_net.seg_pass):
+graft the 1-channel ``seg_head`` onto the shipped matting checkpoint
+(matting-neutral at graft time), then interleave matting batches (exact
+synthetic alpha) with segmentation batches (binary masks) through the
+shared trunk. The shipped artifact backs the segmentation inference
+surfaces (MattingSession(output='seg'), convert_video(
+output_segmentation=...)), gated on held-out mask IoU AND non-regressed
+matting MAD (tests/integration/test_quality.py seg gate).
+
+Run: python tools/train_seg.py --steps 1500 --out checkpoints/seg_demo
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+if "--platform" not in " ".join(sys.argv):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def evaluate_seg(cfg, variables, size: int = 96):
+    """Held-out (IoU, matting MAD) through the PUBLIC surfaces: the seg
+    session (output='seg') vs the binarized subject coverage, and the
+    matting session vs exact alpha — co-training must add segmentation
+    without costing the matte."""
+    import numpy as np
+
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.utils.metrics import mad
+
+    seg = MattingSession(size, size, variables=variables, model_cfg=cfg,
+                         output="seg")
+    mat = MattingSession(size, size, variables=variables, model_cfg=cfg)
+    ious, mads = [], []
+    for f, gt in synthetic_clip(size, size, 8, seed=987654):
+        mask, _ = seg.step(f)
+        pred = mask[..., 0] > 0.5
+        gtb = gt[..., 0] > 0.5
+        ious.append((pred & gtb).sum() / max((pred | gtb).sum(), 1))
+        mads.append(mad(mat.step(f)[0], gt))
+    return float(np.mean(ious)), float(np.mean(mads))
+
+
+def main():
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--clip-len", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seg-every", type=int, default=2)
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-from", default="checkpoints/synthetic_demo")
+    ap.add_argument("--out", default="checkpoints/seg_demo")
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))) + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+
+    import jax.numpy as jnp
+    import optax
+
+    from vidmat.config import ModelConfig
+    from vidmat.models.weights import (graft_seg_params, init_params,
+                                       load_checkpoint, save_checkpoint)
+    from vidmat.train.data import synthetic_clip_batches, synthetic_seg_batches
+    from vidmat.train.loop import (TrainState, make_seg_train_step,
+                                   make_train_step)
+
+    cfg = ModelConfig()
+    variables = load_checkpoint(os.path.abspath(args.init_from),
+                                template=init_params(cfg, seed=args.seed))
+    variables = graft_seg_params(variables, cfg, seed=args.seed)
+
+    warmup = max(1, args.steps // 20)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup, args.steps, end_value=args.lr * 1e-2)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    step_fn = make_train_step(cfg, optimizer=opt)
+    seg_fn = make_seg_train_step(cfg, optimizer=opt)
+    state = TrainState(variables=variables,
+                       opt_state=opt.init(variables["params"]), step=0)
+
+    mat_it = synthetic_clip_batches(t=args.clip_len, n=args.batch,
+                                    h=args.size, w=args.size,
+                                    seed=args.seed)
+    seg_it = synthetic_seg_batches(t=args.clip_len, n=args.batch,
+                                   h=args.size, w=args.size,
+                                   seed=args.seed + 17)
+    best = float("inf")
+    t0 = time.time()
+    for i in range(args.steps):
+        if args.seg_every > 0 and i % args.seg_every == args.seg_every - 1:
+            clips, gt_mask = next(seg_it)
+            state, metrics = seg_fn(state, jnp.asarray(clips),
+                                    jnp.asarray(gt_mask))
+        else:
+            clips, gt_a, gt_f = next(mat_it)
+            state, metrics = step_fn(state, jnp.asarray(clips),
+                                     jnp.asarray(gt_a), jnp.asarray(gt_f))
+        if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
+            iou, mad_ = evaluate_seg(cfg, state.variables)
+            rec = {"step": i + 1,
+                   "loss": round(float(metrics["loss"]), 5),
+                   "heldout_iou": round(iou, 5),
+                   "heldout_mad": round(mad_, 5),
+                   "wall_s": round(time.time() - t0, 1)}
+            print(json.dumps(rec), flush=True)
+            # both capabilities in one score: IoU shortfall + matting MAD
+            # (same [0, 1] scale; 1-iou dominates until seg works)
+            score = (1.0 - iou) + 10.0 * mad_
+            if score < best:
+                best = score
+                save_checkpoint(os.path.abspath(args.out), state.variables)
+                print(f"saved {args.out} (score {best:.5f})", flush=True)
+    print(json.dumps({"final_best_score": round(best, 5)}))
+
+
+if __name__ == "__main__":
+    main()

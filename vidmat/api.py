@@ -121,7 +121,8 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                                        None] = None,
                   mask_source: Union[str, Iterable[np.ndarray],
                                      None] = None,
-                  mask_band: float = 0.04) -> dict:
+                  mask_band: float = 0.04,
+                  output_segmentation: Optional[str] = None) -> dict:
     """Convert a video to alpha / foreground / composited streams.
 
     input_source: path to a video file, or an iterator of (H, W, 3) uint8
@@ -180,9 +181,37 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
         train.data.trimap_from_mask (unknown band of half-width
         ``mask_band`` straddling the mask boundary). Mutually exclusive
         with trimap_source.
+    output_segmentation: write the co-trained SEGMENTATION head's mask
+        stream (RVM-lineage downstream/debug output) instead of matting
+        outputs: the same trunk and temporal recurrence run with the
+        ``seg_head`` in place of the matting heads (one pass serves one
+        head — request mattes in a separate call). Mutually exclusive
+        with the matting outputs and background options; needs a
+        co-trained checkpoint (``variables=`` from a train --seg-every
+        run, or the shipped checkpoints/seg_demo when variables=None).
     Returns a metrics dict (fps, p50/p99 latency; SURVEY.md §5).
     """
     from vidmat.pipeline.video import VideoPipeline, _single_trimap
+
+    if output_segmentation is not None:
+        if output_alpha or output_foreground or output_composition:
+            raise ValueError(
+                "output_segmentation runs the seg head in place of the "
+                "matting heads (one pass, one head — RVM-lineage "
+                "segmentation_pass semantics); request the matting "
+                "outputs in a separate convert_video call")
+        if (trimap_source is not None or mask_source is not None
+                or bg_plate is not None):
+            raise ValueError(
+                "the shipped co-trained segmentation head covers the "
+                "unconditioned base family; conditioned segmentation "
+                "needs a custom co-trained model_cfg/variables and is "
+                "not selected implicitly")
+        return _segment_video(input_source, output_segmentation,
+                              variables=variables, model_cfg=model_cfg,
+                              downsample_ratio=downsample_ratio,
+                              progress=progress, start_frame=start_frame,
+                              max_frames=max_frames)
 
     if mask_source is not None:
         if trimap_source is not None:
@@ -230,6 +259,61 @@ def convert_video(input_source: Union[str, Iterable[np.ndarray]],
                         trimap_source=trimap_source)
 
 
+def _segment_video(input_source, output_path: str, *, variables,
+                   model_cfg, downsample_ratio, progress, start_frame,
+                   max_frames) -> dict:
+    """Drive the segmentation body over a frame stream and write the
+    mask video (convert_video(output_segmentation=...) backend)."""
+    import time
+
+    import jax
+
+    from vidmat.io.reader import FrameSource
+    from vidmat.io.writer import VideoWriter
+    from vidmat.pipeline.stepper import VideoStepper, pad_to_multiple
+    from vidmat.utils.metrics import RunMetrics
+
+    cfg = model_cfg or ModelConfig()
+    src = FrameSource(input_source, start=start_frame, count=max_frames)
+    stepper = None
+    writer = None
+    metrics = RunMetrics()
+    n = 0
+    try:
+        for frame in src:
+            padded, h, w = pad_to_multiple(np.asarray(frame),
+                                           16 * cfg.space_to_depth)
+            if stepper is None:
+                if downsample_ratio is None:
+                    from vidmat.pipeline.video import auto_downsample_ratio
+
+                    ratio = auto_downsample_ratio(padded.shape[0],
+                                                  padded.shape[1])
+                else:
+                    ratio = downsample_ratio
+                stepper = VideoStepper(
+                    cfg, padded.shape[0], padded.shape[1],
+                    variables=variables, downsample_ratio=ratio,
+                    dtype=("bfloat16" if jax.default_backend() == "tpu"
+                           else "float32"),
+                    output="seg")
+                writer = VideoWriter(output_path, fps=src.fps)
+            t0 = time.perf_counter()
+            mask, _ = stepper.step(padded)
+            metrics.record_frame(time.perf_counter() - t0)
+            m8 = np.round(mask[:h, :w, 0] * 255.0).astype(np.uint8)
+            writer.write(np.repeat(m8[..., None], 3, axis=-1))
+            n += 1
+            if progress and n % 50 == 0:
+                print(f"segmented {n} frames", flush=True)
+    finally:
+        if writer is not None:
+            writer.close()
+    summary = metrics.summary()
+    summary["frames"] = n
+    return summary
+
+
 class MattingSession:
     """Streaming API: push frames, pull (alpha, fgr); temporal state is
     carried on-device between calls (BASELINE.json:8).
@@ -245,7 +329,14 @@ class MattingSession:
                  static_skip_eps: Optional[float] = None,
                  tile_size: Optional[int] = None,
                  tile_overlap: int = 128,
-                 bg_plate: Optional[np.ndarray] = None):
+                 bg_plate: Optional[np.ndarray] = None,
+                 output: str = "matte"):
+        """output="seg" serves the co-trained SEGMENTATION head instead
+        of the matting heads (RVM-lineage downstream/debug output): the
+        same trunk and temporal state advance, and step() returns
+        (mask probability (H, W, 1) float32, None). Needs a co-trained
+        checkpoint (variables from a train --seg-every run, or the
+        shipped checkpoints/seg_demo when variables=None)."""
         from vidmat.pipeline.stepper import VideoStepper
 
         if bg_plate is not None and model_cfg is None:
@@ -256,7 +347,7 @@ class MattingSession:
         self._stepper = VideoStepper(
             model_cfg or ModelConfig(), height, width,
             variables=variables, downsample_ratio=downsample_ratio,
-            dtype=dtype,
+            dtype=dtype, output=output,
             # static-scene fast path (serving mode, bfloat16 dtype): skip
             # the net on unchanged frames, ~2x measured on static content
             static_skip_eps=static_skip_eps,

@@ -22,6 +22,12 @@ def _add_video(sub):
     p.add_argument("--output-alpha")
     p.add_argument("--output-foreground")
     p.add_argument("--output-composition")
+    p.add_argument("--output-segmentation", metavar="PATH",
+                   help="write the co-trained SEGMENTATION head's mask "
+                        "stream instead of matting outputs (RVM-lineage "
+                        "downstream/debug output; needs a co-trained "
+                        "checkpoint — the shipped seg_demo by default); "
+                        "mutually exclusive with the matting outputs")
     p.add_argument("--bg-color", default="0,1,0",
                    help="composite background R,G,B in [0,1]")
     p.add_argument("--bg-image", default=None,
@@ -315,7 +321,8 @@ def main(argv=None) -> int:
                 start_frame=args.start_frame, max_frames=args.max_frames,
                 trimap_source=args.trimap, mask_source=args.mask,
                 mask_band=(int(args.mask_band) if args.mask_band >= 1
-                           else args.mask_band))
+                           else args.mask_band),
+                output_segmentation=args.output_segmentation)
         print(json.dumps(metrics))
         return 0
 

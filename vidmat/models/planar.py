@@ -219,7 +219,7 @@ def batch_planar_forward(forward):
 
 def build_planar_forward(cfg: ModelConfig, height: int, width: int,
                          dtype=jnp.bfloat16, interpret: bool = False,
-                         fuse_pairs: bool = True):
+                         fuse_pairs: bool = True, output: str = "matte"):
     """Build forward(variables, frame, state) -> (alpha, fgr, new_state)
     for a fixed (height, width) frame bucket (divisible by 16 *
     space_to_depth).
@@ -228,6 +228,14 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
     state: PlanarState (planar_init_state) or None (cold start).
     alpha/fgr: (1, height, width, 1/3) float32 — identical contract to
     MattingNetwork.apply (matting_net.py MattingNetwork.__call__).
+
+    output="seg": the segmentation-head tap (matting_net.py seg_pass) —
+    the SAME trunk (encoder, bottleneck, recurrent decoder, d0) with the
+    co-trained ``seg_head`` conv in place of the matting head; returns
+    (seg_logits (1, height, width, 1) float32, None, new_state). The
+    recurrent state advances exactly as the matting pass (shared GRU),
+    and the d0+seg_head pair fuses into one planar_conv2 kernel exactly
+    like d0+head does.
 
     fuse_pairs: run adjacent conv pairs (encoder s2a+s2b / s3a+s3b /
     s4a+s4b, and d0+head) as single planar_conv2 kernels — the stride-2
@@ -415,8 +423,9 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         k, sc, bi = cba_w(prm["d0"], stt["d0"])
         splits = tuple(pl_.shape[0] for pl_ in ups) + (
             x_in.shape[0] if s > 1 else 3,)
-        hk = prm["head"]["kernel"]
-        hb = prm["head"]["bias"].astype(jnp.float32)[:, None]
+        head_name = "seg_head" if output == "seg" else "head"
+        hk = prm[head_name]["kernel"]
+        hb = prm[head_name]["bias"].astype(jnp.float32)[:, None]
         ones = jnp.ones((hk.shape[3], 1), jnp.float32)
         if fuse_d0:
             # d0 + head as one fused kernel. Round 2 measured this pair a
@@ -436,6 +445,11 @@ def build_planar_forward(cfg: ModelConfig, height: int, width: int,
         og = plane_to_grid(out, *g[0]).astype(jnp.float32)
         if s > 1:
             og = d2s_grid(og, s)                          # (4, H, W)
+        if output == "seg":
+            new_state = (PlanarState(h3=n3, h2=n2, h1=n1) if cfg.recurrent
+                         else state)
+            # Raw logits, mirroring matting_net's seg_pass contract.
+            return jnp.transpose(og[0:1], (1, 2, 0))[None], None, new_state
         alpha = jnp.clip(og[0:1], 0.0, 1.0)
         fgr = jnp.clip(og[1:4] + rgb, 0.0, 1.0)
 

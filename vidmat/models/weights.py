@@ -380,6 +380,44 @@ def default_variables(cfg: ModelConfig) -> Dict[str, Any]:
     return variables
 
 
+#: ModelConfig axes -> shipped CO-TRAINED checkpoint (matting weights +
+#: the segmentation seg_head; RVM-lineage co-training via train
+#: --seg-every). Only the base plan ships one.
+_SEG_CKPTS = {
+    (False, False, 1, True): "seg_demo",
+}
+
+
+def seg_default_variables(cfg: ModelConfig) -> Dict[str, Any]:
+    """Load the shipped CO-TRAINED (seg_head-bearing) weights for ``cfg``,
+    or raise. The segmentation surfaces (MattingSession(output='seg'),
+    convert_video(output_segmentation=...)) call this when the caller
+    passes no variables — a matting-only checkpoint has no seg_head and
+    cannot produce segmentation output."""
+    base = ModelConfig()
+    name = None
+    if (cfg.enc_channels, cfg.dec_channels) == (base.enc_channels,
+                                                base.dec_channels):
+        name = _SEG_CKPTS.get((cfg.use_trimap, cfg.use_bg_plate,
+                               cfg.space_to_depth, cfg.recurrent))
+    path = os.path.join(_CKPT_ROOT, name) if name else None
+    if path is None or not os.path.isdir(path):
+        raise ValueError(
+            f"no shipped co-trained (seg_head) checkpoint matches {cfg!r}:"
+            " pass variables= from a co-training run (train --seg-every /"
+            " init_params(cfg, with_seg=True)); the shipped seg default"
+            " covers the base plan only (checkpoints/seg_demo)")
+    key = (path + "#seg", cfg.recurrent)
+    cached = _DEFAULT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    variables = load_checkpoint(path, template=init_params(cfg,
+                                                           with_seg=True))
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    _DEFAULT_CACHE[key] = variables
+    return variables
+
+
 # ---- orbax checkpoint io (SURVEY.md §5 checkpoint/resume) ----
 
 def save_checkpoint(path: str, variables: Dict[str, Any]) -> None:

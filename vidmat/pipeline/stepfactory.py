@@ -95,6 +95,7 @@ def build_serving_body(
     static_skip_eps: Optional[float] = None,
     bg_blur: Optional[int] = None,
     bg_plate: Optional[jax.Array] = None,
+    output_seg: bool = False,
 ) -> Tuple[Callable, ServingPlan]:
     """Build the (un-jitted) serving body for a static (h, w, ratio) bucket.
 
@@ -156,6 +157,18 @@ def build_serving_body(
               ingest work, unlike a per-frame input channel. The guide,
               tails, composite, and the static-skip delta all see the
               frame channels only; the net sees ingest(frame) ++ plate.
+    output_seg: build the SEGMENTATION body instead of the matting body
+              (RVM-lineage downstream/debug output): the same ingest +
+              trunk (encoder, bottleneck, recurrent decoder, d0 — the
+              recurrent state advances exactly as the matting pass) with
+              the co-trained ``seg_head`` (matting_net seg_pass; planar
+              tap models/planar.py output='seg'), bilinear upsample of
+              the coarse logits to full res, sigmoid. The body returns
+              (mask (N, h, w, 1) float32 probability, new_state) — the
+              refine/composite tails do not apply to a segmentation mask.
+              Requires a co-trained checkpoint (a ``seg_head`` subtree in
+              the params — weights.init_params(cfg, with_seg=True) /
+              graft_seg_params / the shipped seg_demo).
     static_skip_eps: opt-in static-scene fast path (temporal layer
               caching in the ReFrame sense, PAPERS.md): when the ingested
               coarse frame's mean abs delta vs the previous frame is
@@ -273,9 +286,10 @@ def build_serving_body(
     if use_planar:
         from vidmat.models.planar import build_planar_forward
 
-        planar_fwd = build_planar_forward(model_cfg, state_h, state_w,
-                                          dtype=cdtype,
-                                          interpret=pallas_interpret)
+        planar_fwd = build_planar_forward(
+            model_cfg, state_h, state_w, dtype=cdtype,
+            interpret=pallas_interpret,
+            output="seg" if output_seg else "matte")
 
     def net_apply(variables, xp, state):
         if planar_fwd is not None:
@@ -292,6 +306,8 @@ def build_serving_body(
             from vidmat.models.planar import batch_planar_forward
 
             return batch_planar_forward(planar_fwd)(variables, xp, state)
+        if output_seg:
+            return net.apply(variables, xp, state, seg_pass=True)
         return net.apply(variables, xp, state)
 
     # Static-scene fast path: any coefficient-consuming fused tail
@@ -409,6 +425,25 @@ def build_serving_body(
         alpha = alpha[:, :net_h, :net_w].astype(jnp.float32)
         fgr = fgr[:, :net_h, :net_w].astype(jnp.float32)
         return alpha, fgr, new_state
+
+    if output_seg:
+        # Segmentation body: ingest + shared trunk (seg_pass — the state
+        # advances exactly as the matting pass) + bilinear logits
+        # upsample + sigmoid. None of the matting tails apply.
+        def seg_body(variables, frame_u8, state):
+            x = ingest_x(frame_u8)
+            logits, _, new_state = net_apply(variables, prep_net_input(x),
+                                             state)
+            logits = logits[:, :net_h, :net_w].astype(jnp.float32)
+            if not full:
+                logits = resize_bilinear(logits, h, w)
+            return jax.nn.sigmoid(logits), new_state
+
+        plan = ServingPlan(net_h=net_h, net_w=net_w, state_h=state_h,
+                           state_w=state_w, pool=pool, packed=False,
+                           alpha_only=False, static_skip=False,
+                           full=full, make_state=make_state)
+        return seg_body, plan
 
     def coarse_forward(variables, frame_u8, state):
         """Ingest + recurrent net forward — the coarse half of the chain,

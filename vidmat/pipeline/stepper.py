@@ -17,7 +17,7 @@ import numpy as np
 
 from vidmat.config import ModelConfig
 from vidmat.models.matting_net import MattingNetwork
-from vidmat.models.weights import default_variables
+from vidmat.models.weights import default_variables, seg_default_variables
 from vidmat.ops.resize import downsample_ratio_shape
 from vidmat.pipeline.trimap import canon_trimap_u8
 
@@ -127,19 +127,31 @@ class VideoStepper:
                  static_skip_eps: Optional[float] = None,
                  tile_size: Optional[int] = None,
                  tile_overlap: int = 128,
-                 bg_plate: Optional[np.ndarray] = None):
+                 bg_plate: Optional[np.ndarray] = None,
+                 output: str = "matte"):
         if height % 16 or width % 16:
             raise ValueError("height/width must be multiples of 16 "
                              "(pad with pipeline.stepper.pad_to_multiple)")
+        if output not in ("matte", "seg"):
+            raise ValueError(f"output must be 'matte' or 'seg', "
+                             f"got {output!r}")
         self.cfg = cfg
         self.h, self.w = height, width
         self.ratio = downsample_ratio
+        self._seg = output == "seg"
         # Shipped trained weights or a loud error — never silent
         # random-weight serving (VERDICT r2 item 2); committed to device
         # once (numpy leaves re-transfer on every jitted call).
-        self.variables = jax.tree_util.tree_map(
-            jnp.asarray, variables if variables is not None
-            else default_variables(cfg))
+        if variables is None:
+            variables = (seg_default_variables(cfg) if self._seg
+                         else default_variables(cfg))
+        if self._seg and "seg_head" not in variables["params"]:
+            raise ValueError(
+                "output='seg' needs a CO-TRAINED checkpoint (a seg_head "
+                "subtree in the params): train with --seg-every / "
+                "train_on_clips(seg_data_iter=...), or load the shipped "
+                "seg_demo weights")
+        self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self._parity = dtype != "bfloat16"
 
@@ -174,7 +186,11 @@ class VideoStepper:
             # Clean-plate conditioning (use_bg_plate configs): fixed per
             # session, ingested once by the factory, baked into the step
             # — the factory validates presence/absence against the config.
-            bg_plate=self._prep_plate(bg_plate, height, width))
+            bg_plate=self._prep_plate(bg_plate, height, width),
+            # Segmentation output (RVM-lineage downstream/debug head):
+            # same trunk + state advance, seg_head + sigmoid instead of
+            # the matting tails.
+            output_seg=self._seg)
         self._plan = plan
         self._step = jax.jit(body)
         self.reset()
@@ -229,22 +245,30 @@ class VideoStepper:
 
     def step_device(self, frame: np.ndarray,
                     trimap: Optional[np.ndarray] = None
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Like :meth:`step` but returns DEVICE arrays ((1, H, W, 1) alpha,
         (1, H, W, 3) fgr, float32) with no D2H — callers that post-process
         on device (e.g. the realtime driver's composite) avoid a
-        round-trip."""
+        round-trip. output='seg' steppers return (mask, None)."""
+        if self._seg:
+            mask, self.state = self._step(
+                self.variables, self._device_frame(frame, trimap),
+                self.state)
+            return mask, None
         (alpha, fgr), self.state = self._step(
             self.variables, self._device_frame(frame, trimap), self.state)
         return alpha, fgr
 
     def step(self, frame: np.ndarray,
              trimap: Optional[np.ndarray] = None
-             ) -> Tuple[np.ndarray, np.ndarray]:
+             ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """frame: (H, W, 3) uint8 or float RGB; trimap (trimap-conditioned
         configs): (H, W) uint8 {0,128,255} or float {0,0.5,1}. Returns
-        host alpha, fgr (float32 in [0, 1])."""
+        host alpha, fgr (float32 in [0, 1]); output='seg' steppers return
+        (mask probability (H, W, 1) float32, None)."""
         alpha, fgr = self.step_device(frame, trimap)
+        if fgr is None:
+            return np.asarray(alpha)[0], None
         return np.asarray(alpha)[0], np.asarray(fgr)[0]
 
     # -- mid-video resume (SURVEY.md §5 checkpoint/resume: the pipeline
