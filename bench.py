@@ -371,6 +371,55 @@ def _bench_smoke(jax) -> dict:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def k_export_roundtrip_trimap():
+        # Trimap-family bundle (VERDICT r3 item 7): the 4-channel
+        # (RGB + trimap byte) contract must round-trip through
+        # jax.export exactly like the base family's.
+        import shutil
+        import tempfile
+
+        from vidmat.config import ModelConfig, PipelineConfig, RefineConfig
+        from vidmat.deploy import ServingBundle, export_bundle
+        from vidmat.models.matting_net import MattingNetwork
+        from vidmat.models.weights import init_params
+        from vidmat.pipeline.stepfactory import build_serving_body
+
+        h, w = 48, 64
+        cfg = ModelConfig(conv_impl="planar", space_to_depth=2,
+                          use_trimap=True)
+        pipe = PipelineConfig(downsample_ratio=0.5, dtype="bfloat16",
+                              refine=RefineConfig(mode="guided"))
+        variables = init_params(cfg, seed=9)
+        tmp = tempfile.mkdtemp()
+        try:
+            export_bundle(tmp + "/b", h, w, model_cfg=cfg, pipe_cfg=pipe,
+                          variables=variables, bg_color=(0.0, 0.0, 1.0))
+            bundle = ServingBundle(tmp + "/b")
+            net = MattingNetwork(cfg, dtype=jnp.bfloat16)
+            body, plan = build_serving_body(
+                net, cfg, pipe.refine, h + (-h) % 16, w + (-w) % 16, 0.5,
+                cdtype=jnp.bfloat16,
+                bg=jnp.asarray((0.0, 0.0, 1.0), jnp.float32))
+            step = jax.jit(body)
+            state = plan.make_state(1)
+            vars_dev = jax.tree_util.tree_map(jnp.asarray, variables)
+            worst = 0
+            for seed in (0, 1):
+                rng = np.random.RandomState(seed)
+                frame = rng.randint(0, 255, (h, w, 3), np.uint8)
+                tri = rng.choice([0, 128, 255], (h, w)).astype(np.uint8)
+                got = bundle.step(frame, trimap=tri)
+                f4 = np.concatenate([frame, tri[..., None]], axis=-1)
+                live, state = step(vars_dev, jnp.asarray(f4[None]), state)
+                want = bundle._unpack(live)
+                for key in got:
+                    worst = max(worst, np.abs(
+                        got[key].astype(int)
+                        - want[key].astype(int)).max())
+            return worst, 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     t0 = time.perf_counter()
     for name, fn in [("ingest", k_ingest), ("gf", k_gf),
                      ("composite", k_composite), ("refine", k_refine),
@@ -380,7 +429,9 @@ def _bench_smoke(jax) -> dict:
                      ("planar_gru", k_planar_gru),
                      ("planar_conv2", k_planar_conv2),
                      ("planar_conv_gru", k_planar_conv_gru),
-                     ("export_roundtrip", k_export_roundtrip)]:
+                     ("export_roundtrip", k_export_roundtrip),
+                     ("export_roundtrip_trimap",
+                      k_export_roundtrip_trimap)]:
         check(name, fn)
     n_total = len(report)
     n_ok = n_total - len(failed)
