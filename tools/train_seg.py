@@ -83,9 +83,17 @@ def main():
                                    make_train_step)
 
     cfg = ModelConfig()
-    variables = load_checkpoint(os.path.abspath(args.init_from),
-                                template=init_params(cfg, seed=args.seed))
-    variables = graft_seg_params(variables, cfg, seed=args.seed)
+    try:
+        # continuation from an already co-trained checkpoint
+        variables = load_checkpoint(
+            os.path.abspath(args.init_from),
+            template=init_params(cfg, seed=args.seed, with_seg=True))
+    except Exception:
+        # matting-only checkpoint: graft a fresh (matting-neutral) head
+        variables = graft_seg_params(
+            load_checkpoint(os.path.abspath(args.init_from),
+                            template=init_params(cfg, seed=args.seed)),
+            cfg, seed=args.seed)
 
     warmup = max(1, args.steps // 20)
     sched = optax.warmup_cosine_decay_schedule(

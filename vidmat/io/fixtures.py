@@ -181,6 +181,114 @@ def synthetic_ambiguous_clip(h: int, w: int, num_frames: int,
         yield synthetic_ambiguous_frame(h, w, i / 30.0, seed, target)
 
 
+def synthetic_hard_frame(h: int, w: int, t: float, seed: int = 0,
+                         pan: bool = True, hair: bool = True,
+                         occluder: bool = True, noise: float = 0.015,
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """One frame of the HARD held-out suite (VERDICT r3 missing 1 /
+    item 2): the moving-disk task plus the failure modes the plain
+    fixture cannot expose, with the alpha still in closed form.
+
+      pan:      the background pans (camera motion) — temporal state must
+                track the subject, not memorize static background pixels;
+                the texture also carries a high-frequency octave.
+      hair:     12 thin waving filament strands spiral off the disk edge
+                with sub-pixel tip widths (analytic: angular distance to
+                a per-strand spiral in polar coordinates around the disk
+                center, linearly tapered) — the soft hair-like structure
+                matting quality is usually judged on.
+      occluder: a textured vertical bar sweeps IN FRONT of the scene;
+                ground truth is the VISIBLE subject coverage
+                (alpha * (1 - occluder)), so the matte must both carry
+                the subject through the occlusion and not bleed onto the
+                occluder.
+      noise:    zero-mean sensor noise added to the rendered frame only
+                (the analytic alpha is pre-noise, as real ground truth
+                would be).
+
+    Returns (frame_uint8 (H, W, 3), alpha_f32 (H, W, 1)).
+    """
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    phase = rng.rand(3, 4) * 2 * np.pi
+    # Panning camera: constant per-seed velocity, up to ~0.5 frame/unit-t.
+    vx, vy = ((rng.rand(2) - 0.5) * np.array([w, h]) * 0.9) if pan \
+        else (0.0, 0.0)
+    bx, by = xx + vx * t, yy + vy * t
+    bg = _texture(bx, by, h, w, phase)
+    # High-frequency octave (still pans with the camera).
+    hp = rng.rand(3, 2) * 2 * np.pi
+    bg = bg + np.stack([
+        0.07 * np.sin(2 * np.pi * bx / w * 23 + hp[c, 0])
+        * np.cos(2 * np.pi * by / h * 19 + hp[c, 1])
+        for c in range(3)], axis=-1)
+
+    cx = w / 2 + 0.22 * w * np.cos(2 * np.pi * t)
+    cy = h / 2 + 0.22 * h * np.sin(2 * np.pi * t)
+    radius = 0.16 * min(h, w)
+    dx, dy = xx - cx, yy - cy
+    dist = np.sqrt(dx ** 2 + dy ** 2)
+    alpha = np.clip((radius - dist) / 2.0 + 0.5, 0.0, 1.0)
+
+    if hair:
+        # Filaments: strand k follows the spiral
+        #   theta(r) = a_k + wave(t, k) + curl * (r - radius) / radius
+        # for r in [radius, r_max]; alpha falls off with the ARC distance
+        # r * wrap(theta_pix - theta(r)) so the strand has a real metric
+        # width, which tapers toward the tip along with a length fade.
+        theta_pix = np.arctan2(dy, dx)
+        r_max = 1.9 * radius
+        n_strands = 12
+        curl = 0.8 * (2.0 * rng.rand() - 1.0)
+        base_w = 0.05 * radius  # root half-width: ~1 px at 96-160 res
+        a_hair = np.zeros((h, w), np.float32)
+        for k in range(n_strands):
+            ak = (2 * np.pi * k / n_strands
+                  + 0.25 * np.sin(2 * np.pi * t + 1.7 * k))
+            target = ak + curl * (dist - radius) / radius
+            d_ang = np.angle(np.exp(1j * (theta_pix - target))).astype(
+                np.float32)
+            arc = np.abs(d_ang) * np.maximum(dist, 1e-3)
+            taper = np.clip((r_max - dist) / (0.35 * radius), 0.0, 1.0)
+            width = base_w * (0.3 + 0.7 * taper)
+            prof = np.clip((width - arc) / 1.2 + 0.5, 0.0, 1.0)
+            in_band = (dist >= radius * 0.9) & (dist <= r_max)
+            a_hair = np.maximum(a_hair,
+                                np.where(in_band, prof * taper, 0.0))
+        alpha = np.maximum(alpha, a_hair)
+
+    fg_color = np.array([0.85, 0.45, 0.25], np.float32) + 0.12 * np.sin(
+        np.stack([xx / 11.0, yy / 13.0, (xx + yy) / 17.0], axis=-1))
+    frame = alpha[..., None] * fg_color + (1.0 - alpha[..., None]) * bg
+
+    if occluder:
+        bar_cx = w * (0.5 + 0.38 * np.sin(2 * np.pi * 0.7 * t + 1.0))
+        bar_hw = 0.05 * w
+        occ = np.clip((bar_hw - np.abs(xx - bar_cx)) / 1.5 + 0.5,
+                      0.0, 1.0)
+        occ_color = (np.array([0.2, 0.25, 0.3], np.float32)
+                     + 0.1 * np.sin(np.stack([yy / 7.0, yy / 5.0,
+                                              xx / 9.0], axis=-1)))
+        frame = occ[..., None] * occ_color + (1.0 - occ[..., None]) * frame
+        alpha = alpha * (1.0 - occ)  # ground truth = VISIBLE coverage
+
+    if noise > 0.0:
+        nrng = np.random.RandomState(
+            (seed * 9973 + int(t * 1e4) % 7919) % (2 ** 32 - 1))
+        frame = frame + noise * nrng.randn(h, w, 3).astype(np.float32)
+
+    frame_u8 = np.round(np.clip(frame, 0, 1) * 255).astype(np.uint8)
+    return frame_u8, alpha[..., None].astype(np.float32)
+
+
+def synthetic_hard_clip(h: int, w: int, num_frames: int, seed: int = 0,
+                        **kw) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (frame_uint8, gt_alpha) for the hard held-out suite."""
+    for i in range(num_frames):
+        yield synthetic_hard_frame(h, w, i / max(num_frames, 1), seed,
+                                   **kw)
+
+
 def write_synthetic_matting_dataset(root: str, num_clips: int = 2,
                                     frames: int = 6, h: int = 96,
                                     w: int = 96, seed: int = 0,

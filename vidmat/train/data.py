@@ -36,6 +36,36 @@ def synthetic_clip_batches(t: int = 4, n: int = 2, h: int = 64, w: int = 64,
         yield clips, alphas, fgrs
 
 
+def synthetic_hard_clip_batches(t: int = 4, n: int = 2, h: int = 64,
+                                w: int = 64, seed: int = 0
+                                ) -> Iterator[Tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray]]:
+    """Endless iterator of HARD-fixture batches (io/fixtures.
+    synthetic_hard_frame): panning multi-octave background, hair-like
+    filament strands, a sweeping occluder, sensor noise — the failure
+    modes the plain disk fixture cannot expose, with exact analytic
+    alpha. Mixed into plain-family training via train_eval.py --hard."""
+    from vidmat.io.fixtures import synthetic_hard_frame
+
+    rng = np.random.RandomState(seed + 11)
+    while True:
+        clips = np.zeros((t, n, h, w, 3), np.float32)
+        alphas = np.zeros((t, n, h, w, 1), np.float32)
+        fgrs = np.zeros((t, n, h, w, 3), np.float32)
+        for b in range(n):
+            s = int(rng.randint(0, 10000))
+            t0 = rng.rand()
+            for ti in range(t):
+                frame, alpha = synthetic_hard_frame(h, w, t0 + ti / 30.0,
+                                                    seed=s)
+                clips[ti, b] = frame.astype(np.float32) / 255.0
+                alphas[ti, b] = alpha
+                # frame-as-foreground convention (fgr loss masked by gt
+                # alpha, so background/occluder pixels are ignored)
+                fgrs[ti, b] = clips[ti, b]
+        yield clips, alphas, fgrs
+
+
 def _box_dilate(mask: np.ndarray, r: int) -> np.ndarray:
     """Binary box dilation with radius r via an integral image (O(HW))."""
     h, w = mask.shape
