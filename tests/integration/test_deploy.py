@@ -10,6 +10,13 @@ contract, state carry, chunk step, reset, platform pinning — is
 platform-independent and tested here.
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import json
 import os
 

@@ -8,6 +8,13 @@ these tests pin the adapter against the manual trimap path — identical
 outputs by construction, any weights.
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import os
 
 import numpy as np

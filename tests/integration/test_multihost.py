@@ -13,6 +13,13 @@ Both processes must agree on the (replicated) loss bit-for-bit: the psum
 result is deterministic and replicated to every process.
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import json
 import os
 import socket

@@ -6,6 +6,13 @@ actually reaches the network, that a zero-tap (grafted) net ignores it
 exactly, and that the public surfaces validate presence/absence loudly.
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,5 +1,12 @@
 """Mid-video resume + image-sequence output (SURVEY.md §5)."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import glob
 import os
 import tempfile

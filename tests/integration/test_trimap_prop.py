@@ -8,6 +8,13 @@ ConvGRU carries the constraint forward — trained by
 tools/train_eval.py --trimap keyframe/mixed (train/data.py keyframe mode).
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import os
 
 import numpy as np

@@ -6,6 +6,13 @@ extended here from the single-image rung to the full video pipeline:
 per-frame trimaps ride the serving step as a 4th uint8 channel.
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import os
 
 import numpy as np

@@ -1,6 +1,13 @@
 """Integration tests: full decode->composite pipeline on synthetic clips
 (SURVEY.md §4 integration tier)."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import os
 import tempfile
 

@@ -2,6 +2,13 @@
 must match the CPU torch oracle to <=1e-3 MAD at 512x512 (PR1 workload,
 BASELINE.json:7), with shared weights and randomized BN stats."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import pytest
 

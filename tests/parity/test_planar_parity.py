@@ -3,6 +3,13 @@ execution of the SAME variables must reproduce the Flax model (float32,
 recurrent rollout, both s2d variants). Interpret mode on CPU; compiled on
 TPU by bench.py --net=planar."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 
 import jax

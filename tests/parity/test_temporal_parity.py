@@ -2,6 +2,13 @@
 on both implementations and compare per-frame — recurrent drift compounds,
 so checking only the final frame would hide it (SURVEY.md §4/§7)."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import torch
 

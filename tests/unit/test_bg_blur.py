@@ -12,6 +12,13 @@ materializes in HBM. These tests pin:
   - the VMEM estimator with the coarse-bg resident block
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import pytest
 

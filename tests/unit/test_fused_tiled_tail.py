@@ -7,6 +7,13 @@ fused-tiled output must agree with (a) the unfused tiled XLA reference to
 within feather-ramp quantization and (b) the seam-free untiled fused tail
 to within a couple of u8 steps — which also bounds any seam artifact."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import pytest
 

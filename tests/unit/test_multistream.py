@@ -1,6 +1,13 @@
 """Multi-stream serving tests on the virtual 8-device CPU mesh
 (BASELINE.json:11; SURVEY.md §4 'multi-device tests without a cluster')."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import pytest
 

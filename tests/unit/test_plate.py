@@ -6,6 +6,13 @@ bg_plate). These tests pin the model/graft/fixture layers; the serving
 plumbing is covered in tests/integration/test_plate_video.py.
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -3,6 +3,13 @@ a 2-device slice of the virtual 8-CPU-device mesh, with interpret-mode
 Pallas kernels — the same real-kernel-path strategy as the multistream
 mesh tests."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 
 import jax

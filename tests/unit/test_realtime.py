@@ -1,5 +1,12 @@
 """Realtime (live) serving driver: latest-wins mailbox + pacing + stats."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import time
 
 import numpy as np

@@ -2,6 +2,13 @@
 trunk + seg_head branch, the graft onto matting checkpoints, the BCE
 step, and the matting/segmentation interleave."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 
 import jax

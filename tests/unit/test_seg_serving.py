@@ -2,6 +2,13 @@
 seg head served end-to-end — stepfactory output_seg body, planar tap,
 MattingSession(output='seg'), convert_video(output_segmentation=...)."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import os
 
 import numpy as np

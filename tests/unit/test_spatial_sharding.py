@@ -3,6 +3,13 @@ for a conv net (SURVEY.md §2.2): GSPMD partitions the convolutions over the
 mesh 'spatial' axis and inserts halo exchanges; outputs must match the
 unsharded run."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 
 import jax

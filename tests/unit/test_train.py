@@ -1,6 +1,13 @@
 """Training-loop tests: loss sanity, gradient flow, sharded step on the
 virtual 8-device mesh (SURVEY.md §4 multi-device testing)."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 
 import jax

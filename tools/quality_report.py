@@ -30,6 +30,64 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HELD_OUT_SEEDS = (987654, 24680, 1357911)
 
 
+def _cfgs():
+    from vidmat.config import ModelConfig
+
+    return {
+        "synthetic_demo": ModelConfig(),
+        "fast_demo": ModelConfig(space_to_depth=2),
+        "trimap_demo": ModelConfig(recurrent=False, use_trimap=True),
+        "trimap_prop_demo": ModelConfig(use_trimap=True, space_to_depth=2),
+        "plate_demo": ModelConfig(use_bg_plate=True, space_to_depth=2),
+        "seg_demo": ModelConfig(),  # co-trained (matting metrics here;
+        #                             IoU gated in test_seg_serving)
+    }
+
+
+class _LazyCfgs:
+    def __getitem__(self, k):
+        return _cfgs()[k]
+
+
+CFGS = _LazyCfgs()
+
+
+def eval_hard(name: str, *, frames: int, h: int, w: int):
+    """Hard-suite MAD (x1e3; io/fixtures.synthetic_hard_clip — panning
+    bg, hair filaments, occluder, noise) under the family's protocol.
+    None for the plate family: the hard fixture carries no plate."""
+    import numpy as np
+
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import synthetic_hard_clip
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.pipeline.stepper import ImageStepper
+    from vidmat.train.data import alpha_to_trimap
+    from vidmat.utils.metrics import mad
+
+    cfg = CFGS[name]
+    if cfg.use_bg_plate:
+        return None
+    variables = load_checkpoint(
+        os.path.join(REPO, "checkpoints", name),
+        template=init_params(cfg, with_seg=(name == "seg_demo")))
+    mads = []
+    for seed in HELD_OUT_SEEDS:
+        if cfg.use_trimap and not cfg.recurrent:
+            stepper = ImageStepper(cfg, variables=variables)
+            for f, gt in synthetic_hard_clip(h, w, frames, seed=seed):
+                mads.append(mad(stepper(f, alpha_to_trimap(gt[..., 0]))[0],
+                                gt))
+            continue
+        sess = MattingSession(h, w, model_cfg=cfg, variables=variables)
+        for i, (f, gt) in enumerate(synthetic_hard_clip(h, w, frames,
+                                                        seed=seed)):
+            tri = (alpha_to_trimap(gt[..., 0])
+                   if cfg.use_trimap and i == 0 else None)
+            mads.append(mad(sess.step(f, trimap=tri)[0], gt))
+    return 1e3 * float(np.mean(mads))
+
+
 def eval_checkpoint(name: str, *, frames: int, h: int, w: int) -> dict:
     """Run the serving session for one shipped checkpoint over held-out
     clips and return the scaled metric summary."""
@@ -45,16 +103,10 @@ def eval_checkpoint(name: str, *, frames: int, h: int, w: int) -> dict:
     from vidmat.pipeline.stepper import ImageStepper
     from vidmat.train.data import alpha_to_trimap
 
-    cfgs = {
-        "synthetic_demo": ModelConfig(),
-        "fast_demo": ModelConfig(space_to_depth=2),
-        "trimap_demo": ModelConfig(recurrent=False, use_trimap=True),
-        "trimap_prop_demo": ModelConfig(use_trimap=True, space_to_depth=2),
-        "plate_demo": ModelConfig(use_bg_plate=True, space_to_depth=2),
-    }
-    cfg = cfgs[name]
-    variables = load_checkpoint(os.path.join(REPO, "checkpoints", name),
-                                template=init_params(cfg))
+    cfg = CFGS[name]
+    variables = load_checkpoint(
+        os.path.join(REPO, "checkpoints", name),
+        template=init_params(cfg, with_seg=(name == "seg_demo")))
     ev = VideoEval(metrics=("mad", "mse", "sad", "grad", "conn", "dtssd"))
     for seed in HELD_OUT_SEEDS:
         if cfg.use_bg_plate:
@@ -104,20 +156,14 @@ def main() -> int:
     args = ap.parse_args()
     h, w = (int(v) for v in args.size.split("x"))
 
-    # plate_demo scores at its 160px fixture scale: the camouflage
-    # fixture's offset-sampled texture degenerates at 96px (the disk
-    # spans too few coarse-grid cells for plate comparison), measured
-    # MAD 0.0042 @160 vs 0.038 @96 — a fixture-scale artifact, not a
-    # checkpoint property.
-    sizes = {"plate_demo": (160, 160)}
     rows = []
     for name in ("synthetic_demo", "fast_demo", "trimap_demo",
-                 "trimap_prop_demo", "plate_demo"):
+                 "trimap_prop_demo", "plate_demo", "seg_demo"):
         if not os.path.isdir(os.path.join(REPO, "checkpoints", name)):
             print(f"skip {name}: checkpoint not present", file=sys.stderr)
             continue
-        ch, cw = sizes.get(name, (h, w))
-        s = eval_checkpoint(name, frames=args.frames, h=ch, w=cw)
+        s = eval_checkpoint(name, frames=args.frames, h=h, w=w)
+        s["hard_mad"] = eval_hard(name, frames=args.frames, h=h, w=w)
         rows.append((name, s))
         print(name, json.dumps(s))
 
@@ -125,28 +171,41 @@ def main() -> int:
         "# Shipped-checkpoint quality (vidmat.eval, literature units)\n\n"
         f"Held-out synthetic clips (seeds {HELD_OUT_SEEDS}, "
         f"{len(HELD_OUT_SEEDS)}×{args.frames} frames @ {h}×{w}; "
-        "fixture protocol of tests/integration/test_quality.py). "
+        "fixture protocol of tests/integration/test_quality.py; every "
+        "family reports under this ONE common protocol). "
         "Units: MAD/MSE ×1e3, SAD/Grad/Conn /1e3, dtSSD ×1e2 — "
-        "lower is better everywhere. Regenerate: "
+        "lower is better everywhere. **hard** = MAD ×1e3 on the HARD "
+        "held-out suite (panning multi-octave background, hair-filament "
+        "strands, sweeping occluder, sensor noise — "
+        "io/fixtures.synthetic_hard_clip; '—' for the plate family, "
+        "whose fixture must carry a plate). Regenerate: "
         "`python tools/quality_report.py --write`.\n\n"
-        "| checkpoint | model | MAD | MSE | SAD | Grad | Conn | dtSSD |\n"
-        "|---|---|---|---|---|---|---|---|\n")
-    desc = {"synthetic_demo": "base (s2d=1, recurrent)",
-            "fast_demo": "serving (s2d=2, recurrent)",
-            "trimap_demo": "trimap-conditioned (PR1, non-recurrent)",
+        "| checkpoint | model | MAD | MSE | SAD | Grad | Conn | dtSSD "
+        "| hard |\n"
+        "|---|---|---|---|---|---|---|---|---|\n")
+    desc = {"synthetic_demo": "base (s2d=1, recurrent; r4 hard-content "
+                              "fine-tune)",
+            "fast_demo": "serving (s2d=2, recurrent; r4 hard-content "
+                         "fine-tune)",
+            "trimap_demo": "trimap-conditioned (PR1, non-recurrent; r4 "
+                           "mixed-res + ambiguous-twin retrain)",
             "trimap_prop_demo": "keyframe trimap propagation "
                                 "(s2d=2, recurrent; trimap on frame 0 "
                                 "only)",
             "plate_demo": "clean-plate conditioned (s2d=2, recurrent; "
-                          "CAMOUFLAGED clips + true plate, @160×160 — "
-                          "the fixture's native scale)"}
+                          "CAMOUFLAGED clips + true plate — only the "
+                          "plate can find the subject)",
+            "seg_demo": "base + co-trained seg head (matting metrics "
+                        "here; mask IoU gated >=0.95 in "
+                        "test_seg_serving)"}
     lines = []
     for name, s in rows:
         dt = f"{s['dtssd']:.2f}" if "dtssd" in s else "—"
+        hd = "—" if s.get("hard_mad") is None else f"{s['hard_mad']:.1f}"
         lines.append(
             f"| `{name}` | {desc[name]} | {s['mad']:.2f} | {s['mse']:.3f} "
             f"| {s['sad']:.3f} | {s['grad']:.3f} | {s['conn']:.4f} "
-            f"| {dt} |")
+            f"| {dt} | {hd} |")
     text = header + "\n".join(lines) + "\n"
     print("\n" + text)
     if args.write:

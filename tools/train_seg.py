@@ -58,6 +58,21 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seg-every", type=int, default=2)
+    ap.add_argument("--trunk-lr-scale", type=float, default=0.0,
+                    help="with --head-only: >0 lets the TRUNK move at "
+                         "lr*scale (asymmetric co-train) — the last IoU "
+                         "points need slight trunk adjustment; the tiny "
+                         "LR bounds matting drift and the selection "
+                         "score guards the bargain")
+    ap.add_argument("--head-only", type=int, default=0,
+                    help="1: fit ONLY the seg_head on a frozen trunk "
+                         "(optax.masked grads + restored BN stats): the "
+                         "matting weights stay BIT-IDENTICAL to "
+                         "--init-from, and the head learns from the "
+                         "trunk the matting task already trained. The "
+                         "full RVM-style trunk co-training stays "
+                         "available via --head-only 0 / train "
+                         "--seg-every.")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init-from", default="checkpoints/synthetic_demo")
@@ -99,8 +114,30 @@ def main():
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup, args.steps, end_value=args.lr * 1e-2)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    if args.head_only:
+        # multi_transform + set_to_zero, NOT optax.masked: masked passes
+        # the raw gradients through for masked-out leaves (they would be
+        # applied unscaled by apply_updates — measured catastrophic).
+        if args.trunk_lr_scale > 0:
+            tsched = optax.warmup_cosine_decay_schedule(
+                0.0, args.lr * args.trunk_lr_scale, warmup, args.steps,
+                end_value=args.lr * args.trunk_lr_scale * 1e-2)
+            trunk_opt = optax.chain(optax.clip_by_global_norm(1.0),
+                                    optax.adam(tsched))
+        else:
+            trunk_opt = optax.set_to_zero()
+        opt = optax.multi_transform(
+            {"head": opt, "freeze": trunk_opt},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: ("head" if path[0].key == "seg_head"
+                                 else "freeze"), params))
+    bn0 = variables["batch_stats"]
     step_fn = make_train_step(cfg, optimizer=opt)
-    seg_fn = make_seg_train_step(cfg, optimizer=opt)
+    # head-only: frozen running stats — the head trains against exactly
+    # the activations inference produces (batch stats on the tiny
+    # co-training batches are a noisy moving target).
+    seg_fn = make_seg_train_step(cfg, optimizer=opt,
+                                 bn_train=not args.head_only)
     state = TrainState(variables=variables,
                        opt_state=opt.init(variables["params"]), step=0)
 
@@ -113,10 +150,19 @@ def main():
     best = float("inf")
     t0 = time.time()
     for i in range(args.steps):
-        if args.seg_every > 0 and i % args.seg_every == args.seg_every - 1:
+        if args.head_only or (args.seg_every > 0
+                              and i % args.seg_every == args.seg_every - 1):
             clips, gt_mask = next(seg_it)
             state, metrics = seg_fn(state, jnp.asarray(clips),
                                     jnp.asarray(gt_mask))
+            if args.head_only:
+                # frozen trunk: masked grads already pin the weights;
+                # restoring the BN running stats pins the whole matting
+                # forward bit-identically to --init-from
+                state = TrainState(
+                    variables={"params": state.variables["params"],
+                               "batch_stats": bn0},
+                    opt_state=state.opt_state, step=state.step)
         else:
             clips, gt_a, gt_f = next(mat_it)
             state, metrics = step_fn(state, jnp.asarray(clips),

@@ -121,7 +121,8 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
 
 
 def make_seg_train_step(cfg: ModelConfig, optimizer=None,
-                        mesh: Optional[Mesh] = None, remat: bool = True):
+                        mesh: Optional[Mesh] = None, remat: bool = True,
+                        bn_train: bool = True):
     """Build the jitted segmentation co-training step (RVM-lineage: the
     shared trunk + ``seg_head``, BCE on binary masks — matting_net
     seg_pass docstring).
@@ -134,8 +135,14 @@ def make_seg_train_step(cfg: ModelConfig, optimizer=None,
     the with_seg tree, and each pass gets zero gradients for the other
     pass's head (JAX returns zero cotangents for unused inputs), so one
     optimizer drives the interleave.
+
+    bn_train=False runs BatchNorm on the FROZEN running stats (no stat
+    updates): the head-only fit (tools/train_seg.py --head-only) trains
+    the seg head against exactly the activations inference will produce
+    — with batch stats the tiny co-training batches are a noisy moving
+    target the frozen trunk never lets settle.
     """
-    net = MattingNetwork(cfg, bn_train=True)
+    net = MattingNetwork(cfg, bn_train=bn_train)
     optimizer = optimizer or make_optimizer()
 
     def forward_clip(params, batch_stats, clips):
@@ -147,7 +154,9 @@ def make_seg_train_step(cfg: ModelConfig, optimizer=None,
             (seg, _, new_state), mut = net.apply(
                 {"params": params, "batch_stats": stats}, x, state,
                 seg_pass=True, mutable=["batch_stats"])
-            return (new_state, mut["batch_stats"]), seg
+            # bn_train=False leaves the collection unwritten (frozen
+            # running stats) — carry the input stats through.
+            return (new_state, mut.get("batch_stats", stats)), seg
 
         if remat:
             frame_step = jax.checkpoint(frame_step)
