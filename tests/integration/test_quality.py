@@ -2,6 +2,13 @@
 (trained end-to-end on synthetic clips by the framework's own training
 loop; SURVEY.md §4 integration tier with analytic ground truth)."""
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): compile-heavy mesh/interpret
+# programs, process spawns, long rollouts, or e2e conversions.
+pytestmark = _pytest_tier.mark.slow
+
+
 import os
 
 import numpy as np
@@ -152,6 +159,36 @@ def test_trimap_checkpoint_trimap_is_load_bearing():
         assert np.mean(mads) < 0.003, (target, np.mean(mads))
 
 
+def test_hard_suite_gates():
+    """Base and fast checkpoints must matte the HARD held-out suite
+    (panning multi-octave background, hair filaments, sweeping occluder,
+    sensor noise — io/fixtures.synthetic_hard_clip). Before the round-4
+    hard-content fine-tune both measured ~0.036 MAD here; the fine-tune
+    (train_eval --hard 0.5) brought fast to ~0.012 with the plain score
+    intact — the gate pins that from ever regressing silently."""
+    import numpy as np
+
+    from vidmat.api import MattingSession
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_hard_clip
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.utils.metrics import mad
+
+    for name, cfg in (("synthetic_demo", ModelConfig()),
+                      ("fast_demo", ModelConfig(space_to_depth=2))):
+        ckpt = os.path.join(os.path.dirname(CKPT), name)
+        if not os.path.isdir(ckpt):
+            pytest.skip(f"{name} not present")
+        v = load_checkpoint(ckpt, template=init_params(cfg))
+        mads = []
+        for seed in (987654, 24680):
+            sess = MattingSession(96, 96, variables=v, model_cfg=cfg)
+            mads += [mad(sess.step(f)[0], gt)
+                     for f, gt in synthetic_hard_clip(96, 96, 8,
+                                                      seed=seed)]
+        assert np.mean(mads) < 0.02, (name, np.mean(mads))
+
+
 def test_errormap_refiner_checkpoint_improves_upsample():
     """Trained error-map refiner must beat plain bilinear upsample on a
     held-out frame (BASELINE.json:5 error-map path, end-to-end)."""
@@ -235,11 +272,11 @@ def test_plate_checkpoint_quality():
     cfg = ModelConfig(use_bg_plate=True, space_to_depth=2)
     v = load_checkpoint(ckpt, template=init_params(cfg))
 
-    def run(camo, true_plate):
-        clip = list(synthetic_plate_clip(160, 160, 6, seed=424242,
+    def run(camo, true_plate, size=160):
+        clip = list(synthetic_plate_clip(size, size, 6, seed=424242,
                                          camouflage=camo))
         plate = clip[0][2] if true_plate else clip[0][0]
-        sess = MattingSession(160, 160, variables=v, model_cfg=cfg,
+        sess = MattingSession(size, size, variables=v, model_cfg=cfg,
                               bg_plate=plate)
         return float(np.mean([mad(sess.step(f)[0], gt)
                               for f, gt, _ in clip]))
@@ -250,3 +287,8 @@ def test_plate_checkpoint_quality():
     assert camo_plate < 0.02, camo_plate       # plate finds the disk
     assert plain < 0.01, plain                 # ordinary content intact
     assert camo_wrong > 2 * camo_plate, (camo_wrong, camo_plate)
+    # Round-4 mixed-res retrain: the family must also survive the COMMON
+    # 96px protocol (VERDICT r3 weak 2 — the old checkpoint measured
+    # 0.038 here and hid behind a private 160px protocol).
+    camo_96 = run(True, True, size=96)
+    assert camo_96 < 0.02, camo_96

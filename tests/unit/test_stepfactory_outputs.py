@@ -5,6 +5,14 @@ path), so the contract is pinned here with interpret-mode kernels, and
 the real-TPU compile is covered by bench --mode / the driver headline.
 """
 
+import pytest as _pytest_tier
+
+# Full-tier only (tests/README.md): interpret-kernel serving-body
+# programs, ~540 s of compile on the 1-core box; the quick tier
+# covers the serving body via test_quick_e2e + test_no_retrace.
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 
 import jax.numpy as jnp
