@@ -191,7 +191,7 @@ def main() -> int:
                            "mixed-res + ambiguous-twin retrain)",
             "trimap_prop_demo": "keyframe trimap propagation "
                                 "(s2d=2, recurrent; trimap on frame 0 "
-                                "only)",
+                                "only; r4 hard-content fine-tune)",
             "plate_demo": "clean-plate conditioned (s2d=2, recurrent; "
                           "CAMOUFLAGED clips + true plate — only the "
                           "plate can find the subject)",

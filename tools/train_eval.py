@@ -125,17 +125,32 @@ def evaluate_ambiguous_image(cfg, variables, size: int = 96) -> float:
 def evaluate_hard(cfg, variables, size: int = 96) -> float:
     """Held-out mean MAD on the HARD suite (pan + hair + occluder +
     noise; io/fixtures.synthetic_hard_clip) — the realism gate the plain
-    disk score cannot provide (VERDICT r3 item 2)."""
+    disk score cannot provide (VERDICT r3 item 2). Trimap families run
+    their own protocol: per-frame gt trimaps (non-recurrent) or a
+    frame-0 keyframe (propagation)."""
     import numpy as np
 
     from vidmat.api import MattingSession
     from vidmat.io.fixtures import synthetic_hard_clip
+    from vidmat.train.data import alpha_to_trimap
     from vidmat.utils.metrics import mad
 
+    if cfg.use_trimap and not cfg.recurrent:
+        from vidmat.pipeline.stepper import ImageStepper
+
+        stepper = ImageStepper(cfg, variables=variables)
+        return float(np.mean(
+            [mad(stepper(f, alpha_to_trimap(gt[..., 0]))[0], gt)
+             for f, gt in synthetic_hard_clip(size, size, 8,
+                                              seed=987654)]))
     sess = MattingSession(size, size, variables=variables, model_cfg=cfg)
-    return float(np.mean([mad(sess.step(f)[0], gt)
-                          for f, gt in synthetic_hard_clip(
-                              size, size, 8, seed=987654)]))
+    mads = []
+    for i, (f, gt) in enumerate(synthetic_hard_clip(size, size, 8,
+                                                    seed=987654)):
+        tri = (alpha_to_trimap(gt[..., 0])
+               if cfg.use_trimap and i == 0 else None)
+        mads.append(mad(sess.step(f, trimap=tri)[0], gt))
+    return float(np.mean(mads))
 
 
 def evaluate_plate(cfg, variables, size: int = 160) -> dict:
@@ -211,6 +226,11 @@ def main():
                          "sensor noise — synthetic_hard_clip_batches); "
                          "plain unconditioned families only. heldout_hard "
                          "joins the selection score when > 0")
+    ap.add_argument("--plain-weight", type=float, default=1.0,
+                    help="weight of the PLAIN held-out MAD in the "
+                         "checkpoint-selection score (raise it so a "
+                         "capability term cannot buy its win with plain-"
+                         "quality regression)")
     ap.add_argument("--recurrent", type=int, default=1,
                     help="0 trains the NON-RECURRENT (PR1 single-image) "
                          "family — e.g. the per-frame trimap rung; "
@@ -323,21 +343,28 @@ def main():
                                           h=s, w=s,
                                           seed=args.seed + 31 * k,
                                           keyframe=key_mode,
-                                          ambiguous=args.ambiguous)
+                                          ambiguous=args.ambiguous,
+                                          hard=args.hard)
                  for k, s in enumerate(sizes)]
 
-    if args.hard > 0 and (args.plate or args.trimap != "off"):
-        raise SystemExit("--hard mixes into the plain unconditioned "
-                         "families only (the hard fixture carries no "
-                         "trimap/plate channels)")
+    if args.hard > 0 and args.plate:
+        raise SystemExit("--hard does not mix into the plate family "
+                         "(the hard fixture carries no clean plate); "
+                         "plain and trimap families take it")
 
     def data():
         import numpy as np
 
         i = 0
         hrng = np.random.RandomState(args.seed + 5)
+        # trimap families mix hard batches INSIDE synthetic_trimap_batches
+        # (the trimap channel derives from the hard alpha there); only the
+        # plain branch carries a separate hard iterator list.
+        hard_lists = (hard_iters if args.hard > 0
+                      and args.trimap == "off" and not args.plate
+                      else None)
         while True:
-            src = (hard_iters if args.hard > 0
+            src = (hard_lists if hard_lists is not None
                    and hrng.rand() < args.hard else iters)
             yield next(src[i % len(src)])  # round-robin over sizes
             i += 1
@@ -383,10 +410,14 @@ def main():
                        "loss": round(float(metrics["loss"]), 5),
                        "heldout_mad": round(heldout, 5)}
                 score = heldout
+                if args.hard > 0:
+                    hard = evaluate_hard(cfg, state.variables)
+                    rec["heldout_hard"] = round(hard, 5)
+                    score += hard
                 if args.ambiguous > 0:
                     amb = evaluate_ambiguous_image(cfg, state.variables)
                     rec["heldout_amb_perframe"] = round(amb, 5)
-                    score = heldout + amb
+                    score = score + amb
                 rec["wall_s"] = round(time.time() - t0, 1)
                 print(json.dumps(rec), flush=True)
                 if score < best:
@@ -404,18 +435,20 @@ def main():
                              ("keyframe", "mixed") else args.trimap))
             rec = {"step": i + 1, "loss": round(float(metrics["loss"]), 5),
                    "heldout_mad": round(heldout, 5)}
-            score = heldout
+            # Selection ACCUMULATES the capability terms (same MAD units;
+            # the earlier '=' let a late ambiguous win overwrite the hard
+            # term and select a checkpoint whose plain score had slid
+            # 10x). plain-weight guards the family's headline quality.
+            score = args.plain_weight * heldout
             if args.hard > 0:
                 hard = evaluate_hard(cfg, state.variables)
                 rec["heldout_hard"] = round(hard, 5)
-                # selection balances plain and hard quality (same units)
-                score = heldout + hard
+                score += hard
             if args.ambiguous > 0:
                 amb = evaluate_ambiguous(cfg, state.variables)
                 rec["heldout_amb"] = {k: round(v, 5)
                                       for k, v in amb.items()}
-                # selection balances both capabilities (same MAD units)
-                score = heldout + amb["keyframe"]
+                score += amb["keyframe"]
             rec["wall_s"] = round(time.time() - t0, 1)
             print(json.dumps(rec), flush=True)
             if score < best:

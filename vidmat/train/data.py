@@ -206,7 +206,8 @@ def synthetic_plate_batches(t: int = 4, n: int = 2, h: int = 64,
 def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
                              w: int = 64, seed: int = 0,
                              keyframe: str = "off",
-                             ambiguous: float = 0.0):
+                             ambiguous: float = 0.0,
+                             hard: float = 0.0):
     """Batches for the trimap-conditioned model: clips carry a 4th input
     channel with the {0, 0.5, 1} trimap derived from gt alpha.
 
@@ -223,14 +224,26 @@ def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
     which twin is the subject — keyframe batches on that task are what
     force the recurrence to actually CARRY the annotation (on
     unambiguous content a trimap-free net can ignore the hint entirely).
+
+    hard: fraction of batches drawn from the HARD fixture
+    (synthetic_hard_clip_batches — pan/hair/occluder/noise); the trimap
+    channel derives from the hard alpha exactly like the plain one, so
+    the conditioned families train on hard content too.
     """
     mode_rng = np.random.RandomState(seed + 1)
     plain = synthetic_clip_batches(t, n, h, w, seed)
     amb = (synthetic_ambiguous_clip_batches(t, n, h, w, seed)
            if ambiguous > 0.0 else None)
+    hrd = (synthetic_hard_clip_batches(t, n, h, w, seed)
+           if hard > 0.0 else None)
     while True:
-        src = amb if (amb is not None
-                      and mode_rng.rand() < ambiguous) else plain
+        r = mode_rng.rand()
+        if amb is not None and r < ambiguous:
+            src = amb
+        elif hrd is not None and r < ambiguous + hard:
+            src = hrd
+        else:
+            src = plain
         clips, alphas, fgrs = next(src)
         key_batch = (keyframe == "only"
                      or (keyframe == "mixed" and mode_rng.rand() < 0.5))
