@@ -310,6 +310,44 @@ def test_batched_multistream_bundle(tmp_path):
         batched.convert(iter([rounds]), output_alpha=str(tmp_path / "a.mp4"))
 
 
+def test_seg_bundle(tmp_path):
+    """output='seg' exports the segmentation body: the bundle's step
+    returns the float32 mask probability matching the live seg session,
+    the temporal state carries, and offline convert() points to
+    convert_video(output_segmentation=...)."""
+    from vidmat.api import MattingSession
+
+    cfg = ModelConfig()
+    v = init_params(cfg, seed=13, with_seg=True)
+    pipe = PipelineConfig(downsample_ratio=0.5, dtype="bfloat16",
+                          refine=RefineConfig(mode="guided"))
+    path = str(tmp_path / "sb")
+    export_bundle(path, H, W, model_cfg=cfg, pipe_cfg=pipe, variables=v,
+                  output="seg")
+    bundle = ServingBundle(path)
+    assert bundle.manifest["output"] == "seg"
+
+    ph, pw = H + (-H) % 16, W + (-W) % 16
+    sess = MattingSession(ph, pw, variables=v, model_cfg=cfg,
+                          dtype="bfloat16", downsample_ratio=0.5,
+                          output="seg")
+    for frame in _frames(3, seed=6):
+        got = bundle.step(frame)["seg"]
+        padded = np.pad(frame, ((0, ph - H), (0, pw - W), (0, 0)),
+                        mode="edge")
+        want = sess.step(padded)[0][:H, :W, 0]
+        assert got.dtype == np.float32 and got.shape == (H, W)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    with pytest.raises(ValueError, match="output_segmentation"):
+        bundle.convert(iter(_frames(1)), output_alpha=str(tmp_path / "a"))
+
+    with pytest.raises(ValueError, match="seg_head"):
+        export_bundle(str(tmp_path / "sb2"), H, W, model_cfg=cfg,
+                      pipe_cfg=pipe, variables=init_params(cfg, seed=2),
+                      output="seg")
+
+
 def test_plate_bundle(tmp_path):
     """Plate-conditioned bundles: the clean plate is BAKED at export (the
     frame input stays 3-channel) and the bundle matches the live

@@ -88,7 +88,8 @@ def export_bundle(out_dir: str, height: int, width: int, *,
                   bg_plate: Optional[Union[str, np.ndarray]] = None,
                   alpha_only: bool = False,
                   need_fgr: bool = False,
-                  num_streams: int = 1) -> str:
+                  num_streams: int = 1,
+                  output: str = "matte") -> str:
     """Export an AOT serving bundle for a fixed (height, width) stream.
 
     height/width: the stream resolution (any size — padded internally to
@@ -123,6 +124,11 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         state slots (the single-chip multi-stream serving shape,
         BASELINE.json:11). The loader's step() then returns leading-S
         outputs; offline convert() stays a single-stream (S=1) surface.
+    output="seg": export the SEGMENTATION body (the co-trained seg head
+        through the shared trunk — stepfactory output_seg): the bundle's
+        step returns a float32 mask probability plane instead of the
+        matting outputs. Needs a co-trained checkpoint (the shipped
+        seg_demo when variables=None); background options don't apply.
 
     Returns out_dir. The artifact is pinned to the exporting platform
     (e.g. 'tpu'); the loader enforces this.
@@ -142,8 +148,20 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         model_cfg = plate_default_config()
     model_cfg = model_cfg or ModelConfig()
     pipe_cfg = pipe_cfg or PipelineConfig()
+    if output not in ("matte", "seg"):
+        raise ValueError(f"output must be 'matte' or 'seg', got {output!r}")
     if variables is None:
-        variables = default_variables(model_cfg)
+        if output == "seg":
+            from vidmat.models.weights import seg_default_variables
+
+            variables = seg_default_variables(model_cfg)
+        else:
+            variables = default_variables(model_cfg)
+    if output == "seg" and "seg_head" not in variables["params"]:
+        raise ValueError(
+            "output='seg' needs a CO-TRAINED checkpoint (a seg_head "
+            "subtree in the params) — train --seg-every / the shipped "
+            "seg_demo")
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
     ratio = downsample_ratio
@@ -183,7 +201,7 @@ def export_bundle(out_dir: str, height: int, width: int, *,
         tile_overlap=pipe_cfg.tile_overlap, alpha_only=alpha_only,
         static_skip_eps=pipe_cfg.static_skip_eps,
         bg_blur=bg_blur if bg_kind == "blur" else None,
-        bg_plate=plate)
+        bg_plate=plate, output_seg=(output == "seg"))
 
     if num_streams < 1:
         raise ValueError(f"num_streams must be >= 1, got {num_streams}")
@@ -249,7 +267,9 @@ def export_bundle(out_dir: str, height: int, width: int, *,
     p_dtypes = _save_leaves(os.path.join(out_dir, "params.npz"), p_leaves)
     s_dtypes = _save_leaves(os.path.join(out_dir, "state0.npz"), s_leaves)
 
-    if plan.alpha_only:
+    if output == "seg":
+        pass  # manifest "output" stays "seg"
+    elif plan.alpha_only:
         output = "alpha_only"
     elif plan.packed:
         output = "packed"
@@ -366,9 +386,12 @@ class ServingBundle:
         return frame
 
     def _unpack(self, outs) -> dict:
-        """Host dict of uint8 outputs with the leading stream/batch axis
-        kept (step() drops it for S=1 bundles)."""
+        """Host dict of outputs with the leading stream/batch axis kept
+        (step() drops it for S=1 bundles). uint8 everywhere except the
+        seg contract, which returns the float32 mask probability."""
         m = self.manifest
+        if m["output"] == "seg":
+            return {"seg": np.asarray(outs)[:, :self.h, :self.w, 0]}
         if m["output"] == "alpha_only":
             return {"alpha": np.asarray(outs)[:, :self.h, :self.w]}
         if m["output"] == "packed":
@@ -418,6 +441,11 @@ class ServingBundle:
         from vidmat.utils.metrics import RunMetrics
 
         m = self.manifest
+        if m["output"] == "seg":
+            raise ValueError(
+                "seg bundles serve live masks via step(); offline mask "
+                "conversion lives in convert_video("
+                "output_segmentation=...)")
         if self.num_streams != 1:
             raise ValueError(
                 "convert() is a single-stream surface; batched "
