@@ -583,3 +583,42 @@ def test_cli_video_tile_flags(tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 3
+
+
+def test_cli_multistream_pp(tmp_path):
+    """``multistream --pp`` drives PipelinedStreams from the command line
+    (VERDICT r4 item 7 — pipelined serving's product surface): 2 streams
+    x 2 stages over 4 of the virtual CPU devices, interpret-mode Pallas
+    kernels, streams of DIFFERENT lengths (the early-ended stream is
+    pad-fed but its writer stops at its true frame count)."""
+    import cv2
+
+    from vidmat.cli import main as cli_main
+    from vidmat.io.fixtures import synthetic_frames_only
+    from vidmat.io.writer import VideoWriter
+
+    h = w = 64
+    lengths = (4, 6)
+    inputs = []
+    for i, n in enumerate(lengths):
+        p = str(tmp_path / f"in{i}.mp4")
+        vw = VideoWriter(p, 10)
+        for f in synthetic_frames_only(h, w, n, seed=i):
+            vw.write(f)
+        vw.close()
+        inputs.append(p)
+    out_dir = str(tmp_path / "out")
+    rc = cli_main(["multistream", *inputs, "--output-dir", out_dir,
+                   "--height", str(h), "--width", str(w),
+                   "--downsample-ratio", "0.5",
+                   "--pp", "--pallas-interpret"])
+    assert rc == 0
+    for i, n in enumerate(lengths):
+        cap = cv2.VideoCapture(f"{out_dir}/alpha_{i:02d}.mp4")
+        got = 0
+        ok, frame = cap.read()
+        while ok:
+            got += 1
+            assert np.isfinite(frame.astype(np.float32)).all()
+            ok, frame = cap.read()
+        assert got == n, (i, got, n)

@@ -107,6 +107,18 @@ def test_pipelined_preconditions():
     with pytest.raises(ValueError, match="fused tail"):
         PipelinedMatting(64, 64, _mesh2(), cfg=cfg, downsample_ratio=1.0,
                          pallas_interpret=True)
+    # step()/flush() are the chunk=1 streaming API: with chunk>1 they
+    # must raise loudly instead of feeding a K=1 round into the K=chunk
+    # compiled program (VERDICT r4 item 7 — the silent-retrace trap).
+    pp = PipelinedMatting(64, 64, _mesh2(), cfg=cfg, dtype="float32",
+                          downsample_ratio=0.5, bg_color=BG, chunk=2,
+                          pallas_interpret=True)
+    frame = _frames(1, 64, 64)[0]
+    with pytest.raises(ValueError, match="chunk=1 streaming"):
+        pp.step(frame)
+    next(pp.convert(iter([frame])))  # prime so flush has an in-flight round
+    with pytest.raises(ValueError, match="chunk=1 streaming"):
+        pp.flush()
 
 
 def test_pipelined_bg_blur_matches_single_device():

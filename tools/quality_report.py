@@ -52,40 +52,50 @@ class _LazyCfgs:
 CFGS = _LazyCfgs()
 
 
-def eval_hard(name: str, *, frames: int, h: int, w: int):
-    """Hard-suite MAD (x1e3; io/fixtures.synthetic_hard_clip — panning
-    bg, hair filaments, occluder, noise) under the family's protocol.
-    None for the plate family: the hard fixture carries no plate."""
-    import numpy as np
-
+def eval_hard(name: str, *, frames: int, h: int, w: int) -> dict:
+    """EXTENDED hard-suite metrics (MAD + Grad + dtSSD — VERDICT r4
+    item 4) under the family's protocol: io/fixtures.synthetic_hard_clip
+    with the canonical HARD2 octave-two knobs (panning multi-octave bg,
+    hair filaments, occluder, sensor noise, shutter motion blur,
+    exposure drift, JPEG round-trip). The plate family runs the HARD
+    clean-plate fixture (synthetic_hard_plate_clip + HARD_PLATE —
+    camouflaged subject+filaments, camera-drift plate misregistration)."""
     from vidmat.api import MattingSession
-    from vidmat.io.fixtures import synthetic_hard_clip
+    from vidmat.eval import VideoEval
+    from vidmat.io.fixtures import (HARD2, HARD_PLATE,
+                                    synthetic_hard_clip,
+                                    synthetic_hard_plate_clip)
     from vidmat.models.weights import init_params, load_checkpoint
     from vidmat.pipeline.stepper import ImageStepper
     from vidmat.train.data import alpha_to_trimap
-    from vidmat.utils.metrics import mad
 
     cfg = CFGS[name]
-    if cfg.use_bg_plate:
-        return None
     variables = load_checkpoint(
         os.path.join(REPO, "checkpoints", name),
         template=init_params(cfg, with_seg=(name == "seg_demo")))
-    mads = []
+    ev = VideoEval(metrics=("mad", "grad", "dtssd"))
     for seed in HELD_OUT_SEEDS:
-        if cfg.use_trimap and not cfg.recurrent:
+        if cfg.use_bg_plate:
+            clip = list(synthetic_hard_plate_clip(h, w, frames, seed=seed,
+                                                  **HARD_PLATE))
+            sess = MattingSession(h, w, model_cfg=cfg, variables=variables,
+                                  bg_plate=clip[0][2])
+            for f, gt, _ in clip:
+                ev.update(sess.step(f)[0], gt)
+        elif cfg.use_trimap and not cfg.recurrent:
             stepper = ImageStepper(cfg, variables=variables)
-            for f, gt in synthetic_hard_clip(h, w, frames, seed=seed):
-                mads.append(mad(stepper(f, alpha_to_trimap(gt[..., 0]))[0],
-                                gt))
-            continue
-        sess = MattingSession(h, w, model_cfg=cfg, variables=variables)
-        for i, (f, gt) in enumerate(synthetic_hard_clip(h, w, frames,
-                                                        seed=seed)):
-            tri = (alpha_to_trimap(gt[..., 0])
-                   if cfg.use_trimap and i == 0 else None)
-            mads.append(mad(sess.step(f, trimap=tri)[0], gt))
-    return 1e3 * float(np.mean(mads))
+            for f, gt in synthetic_hard_clip(h, w, frames, seed=seed,
+                                             **HARD2):
+                ev.update(stepper(f, alpha_to_trimap(gt[..., 0]))[0], gt)
+        else:
+            sess = MattingSession(h, w, model_cfg=cfg, variables=variables)
+            for i, (f, gt) in enumerate(
+                    synthetic_hard_clip(h, w, frames, seed=seed, **HARD2)):
+                tri = (alpha_to_trimap(gt[..., 0])
+                       if cfg.use_trimap and i == 0 else None)
+                ev.update(sess.step(f, trimap=tri)[0], gt)
+        ev.reset_temporal()
+    return ev.summary()
 
 
 def eval_checkpoint(name: str, *, frames: int, h: int, w: int) -> dict:
@@ -163,7 +173,7 @@ def main() -> int:
             print(f"skip {name}: checkpoint not present", file=sys.stderr)
             continue
         s = eval_checkpoint(name, frames=args.frames, h=h, w=w)
-        s["hard_mad"] = eval_hard(name, frames=args.frames, h=h, w=w)
+        s["hard"] = eval_hard(name, frames=args.frames, h=h, w=w)
         rows.append((name, s))
         print(name, json.dumps(s))
 
@@ -174,15 +184,18 @@ def main() -> int:
         "fixture protocol of tests/integration/test_quality.py; every "
         "family reports under this ONE common protocol). "
         "Units: MAD/MSE ×1e3, SAD/Grad/Conn /1e3, dtSSD ×1e2 — "
-        "lower is better everywhere. **hard** = MAD ×1e3 on the HARD "
-        "held-out suite (panning multi-octave background, hair-filament "
-        "strands, sweeping occluder, sensor noise — "
-        "io/fixtures.synthetic_hard_clip; '—' for the plate family, "
-        "whose fixture must carry a plate). Regenerate: "
+        "lower is better everywhere. **h*** = the EXTENDED hard held-out "
+        "suite (panning multi-octave background, hair-filament strands, "
+        "sweeping occluder, sensor noise, PLUS octave two: shutter "
+        "motion blur, exposure drift, JPEG round-trip — "
+        "io/fixtures.synthetic_hard_clip **HARD2**; the plate family "
+        "runs the hard CLEAN-PLATE fixture instead: camouflaged "
+        "disk+filaments, camera-drift plate misregistration — "
+        "synthetic_hard_plate_clip **HARD_PLATE**). Regenerate: "
         "`python tools/quality_report.py --write`.\n\n"
         "| checkpoint | model | MAD | MSE | SAD | Grad | Conn | dtSSD "
-        "| hard |\n"
-        "|---|---|---|---|---|---|---|---|---|\n")
+        "| hMAD | hGrad | hdtSSD |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|\n")
     desc = {"synthetic_demo": "base (s2d=1, recurrent; r4 hard-content "
                               "fine-tune)",
             "fast_demo": "serving (s2d=2, recurrent; r4 hard-content "
@@ -201,11 +214,12 @@ def main() -> int:
     lines = []
     for name, s in rows:
         dt = f"{s['dtssd']:.2f}" if "dtssd" in s else "—"
-        hd = "—" if s.get("hard_mad") is None else f"{s['hard_mad']:.1f}"
+        hd = s["hard"]
         lines.append(
             f"| `{name}` | {desc[name]} | {s['mad']:.2f} | {s['mse']:.3f} "
             f"| {s['sad']:.3f} | {s['grad']:.3f} | {s['conn']:.4f} "
-            f"| {dt} | {hd} |")
+            f"| {dt} | {hd['mad']:.1f} | {hd['grad']:.3f} "
+            f"| {hd['dtssd']:.2f} |")
     text = header + "\n".join(lines) + "\n"
     print("\n" + text)
     if args.write:

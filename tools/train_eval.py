@@ -187,6 +187,26 @@ def evaluate_plate(cfg, variables, size: int = 160) -> dict:
     return out
 
 
+def evaluate_hard_plate(cfg, variables, size: int = 96) -> float:
+    """Held-out mean MAD on the HARD clean-plate suite (io/fixtures.
+    synthetic_hard_plate_clip under the canonical HARD_PLATE protocol:
+    camouflaged disk + camouflaged filaments, camera drift, shutter
+    blur, exposure drift, plate jitter) — the plate family's realism
+    gate (VERDICT r4 item 1: the plate family had no hard fixture)."""
+    import numpy as np
+
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import HARD_PLATE, synthetic_hard_plate_clip
+    from vidmat.utils.metrics import mad
+
+    clip = list(synthetic_hard_plate_clip(size, size, 8, seed=987654,
+                                          **HARD_PLATE))
+    sess = MattingSession(size, size, variables=variables, model_cfg=cfg,
+                          bg_plate=clip[0][2])
+    return float(np.mean([mad(sess.step(f)[0], gt)
+                          for f, gt, _ in clip]))
+
+
 def main():
     import jax
 
@@ -223,9 +243,14 @@ def main():
     ap.add_argument("--hard", type=float, default=0.0,
                     help="fraction of batches drawn from the HARD "
                          "fixture (panning bg, hair filaments, occluder, "
-                         "sensor noise — synthetic_hard_clip_batches); "
-                         "plain unconditioned families only. heldout_hard "
-                         "joins the selection score when > 0")
+                         "sensor noise — synthetic_hard_clip_batches; "
+                         "for --plate, the hard CLEAN-PLATE fixture). "
+                         "heldout_hard joins the selection score when "
+                         "> 0")
+    ap.add_argument("--octave2", type=float, default=0.0,
+                    help="fraction of HARD clips that also carry the "
+                         "octave-two effects (shutter motion blur, "
+                         "exposure drift, JPEG round-trip)")
     ap.add_argument("--plain-weight", type=float, default=1.0,
                     help="weight of the PLAIN held-out MAD in the "
                          "checkpoint-selection score (raise it so a "
@@ -315,6 +340,7 @@ def main():
     state = TrainState(variables=variables, opt_state=opt.init(
         variables["params"]), step=0)
     sizes = args.sizes or [args.size]
+    hard_iters = None
     if args.plate:
         from vidmat.train.data import synthetic_plate_batches
 
@@ -324,6 +350,13 @@ def main():
                                          camouflage=args.camouflage,
                                          plate_jitter=args.plate_jitter)
                  for k, s in enumerate(sizes)]
+        if args.hard > 0:
+            from vidmat.train.data import synthetic_hard_plate_batches
+
+            hard_iters = [synthetic_hard_plate_batches(
+                t=args.clip_len, n=args.batch, h=s, w=s,
+                seed=args.seed + 31 * k, plate_jitter=args.plate_jitter,
+                octave2=args.octave2) for k, s in enumerate(sizes)]
     elif args.trimap == "off":
         iters = [synthetic_clip_batches(t=args.clip_len, n=args.batch,
                                         h=s, w=s, seed=args.seed + 31 * k)
@@ -333,7 +366,8 @@ def main():
 
             hard_iters = [synthetic_hard_clip_batches(
                 t=args.clip_len, n=args.batch, h=s, w=s,
-                seed=args.seed + 31 * k) for k, s in enumerate(sizes)]
+                seed=args.seed + 31 * k, octave2=args.octave2)
+                for k, s in enumerate(sizes)]
     else:
         from vidmat.train.data import synthetic_trimap_batches
 
@@ -344,13 +378,9 @@ def main():
                                           seed=args.seed + 31 * k,
                                           keyframe=key_mode,
                                           ambiguous=args.ambiguous,
-                                          hard=args.hard)
+                                          hard=args.hard,
+                                          octave2=args.octave2)
                  for k, s in enumerate(sizes)]
-
-    if args.hard > 0 and args.plate:
-        raise SystemExit("--hard does not mix into the plate family "
-                         "(the hard fixture carries no clean plate); "
-                         "plain and trimap families take it")
 
     def data():
         import numpy as np
@@ -358,11 +388,9 @@ def main():
         i = 0
         hrng = np.random.RandomState(args.seed + 5)
         # trimap families mix hard batches INSIDE synthetic_trimap_batches
-        # (the trimap channel derives from the hard alpha there); only the
-        # plain branch carries a separate hard iterator list.
-        hard_lists = (hard_iters if args.hard > 0
-                      and args.trimap == "off" and not args.plate
-                      else None)
+        # (the trimap channel derives from the hard alpha there); the
+        # plain and plate branches carry a separate hard iterator list.
+        hard_lists = hard_iters
         while True:
             src = (hard_lists if hard_lists is not None
                    and hrng.rand() < args.hard else iters)
@@ -388,9 +416,17 @@ def main():
                 # selection balances camouflage (the new capability) and
                 # ordinary content (must not regress) at BOTH the 160px
                 # fixture-native scale and the common 96px reporting
-                # protocol (VERDICT r3 weak 2) — same MAD units
-                score = (pl["camo_plate"] + pl["plain"]
-                         + pl96["camo_plate"] + pl96["plain"])
+                # protocol (VERDICT r3 weak 2) — same MAD units. The
+                # plain-weight flag guards the ordinary-content terms
+                # exactly as in the unconditioned families.
+                score = (pl["camo_plate"]
+                         + args.plain_weight * pl["plain"]
+                         + pl96["camo_plate"]
+                         + args.plain_weight * pl96["plain"])
+                if args.hard > 0:
+                    hp = evaluate_hard_plate(cfg, state.variables)
+                    rec["heldout_hard_plate"] = round(hp, 5)
+                    score += hp
                 rec["wall_s"] = round(time.time() - t0, 1)
                 print(json.dumps(rec), flush=True)
                 if score < best:

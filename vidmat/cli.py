@@ -134,6 +134,15 @@ def _add_multistream(sub):
                    help="portrait mode: also write composition_NN.mp4 per "
                         "stream, compositing over a blur of that stream's "
                         "own frames (radius in full-res pixels)")
+    p.add_argument("--pp", action="store_true",
+                   help="serve each stream 2-stage pipeline-parallel "
+                        "(coarse net | fused refine+composite) over a "
+                        "('stream', 'pp') mesh of 2N devices — N streams "
+                        "each at pipelined throughput (parallel/pp.py)")
+    p.add_argument("--pallas-interpret", action="store_true",
+                   help="run the Pallas kernels in interpreter mode "
+                        "(CPU-mesh validation of the TPU serving path; "
+                        "not a performance mode)")
 
 
 def _add_export(sub):
@@ -256,6 +265,83 @@ def _add_evaluate(sub):
     p.add_argument("--per-frame", action="store_true",
                    help="include the per-frame rows in the JSON")
     p.add_argument("--output", help="write the JSON report here as well")
+
+
+def _run_multistream_pp(args, readers, padded, variables, h, w,
+                        ms_cfg) -> int:
+    """The ``multistream --pp`` path (VERDICT r4 item 7 — pipelined
+    serving's product surface): N streams x 2 stages over a
+    ('stream', 'pp') mesh of 2N devices, driven through
+    PipelinedStreams.convert (which hides the 1-round pipeline skew).
+    Streams that end early are padded with their last frame on the feed
+    side; their outputs stop being written."""
+    import os
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from vidmat.io.writer import VideoWriter
+    from vidmat.parallel.pp import PipelinedStreams
+
+    s = len(readers)
+    devs = jax.devices()
+    if len(devs) < 2 * s:
+        raise SystemExit(
+            f"--pp needs 2 devices per stream ({2 * s} for {s} "
+            f"streams); {len(devs)} visible")
+    mesh = Mesh(np.array(devs[:2 * s]).reshape(s, 2), ("stream", "pp"))
+    pps = PipelinedStreams(s, h, w, mesh, variables=variables,
+                           chunk=args.chunk, bg_blur=args.bg_blur,
+                           pallas_interpret=args.pallas_interpret,
+                           **ms_cfg)
+    its = [padded(r) for r in readers]
+    alive = [True] * s
+    last = [np.zeros((h, w, pps.in_c), np.uint8)] * s
+    alive_hist: list = []
+
+    def rounds():
+        while True:
+            batch = []
+            any_alive = False
+            for i, it in enumerate(its):
+                if alive[i]:
+                    try:
+                        last[i] = next(it)
+                        any_alive = True
+                    except StopIteration:
+                        alive[i] = False
+                batch.append(last[i])
+            if not any_alive:
+                return
+            alive_hist.append(list(alive))
+            yield np.stack(batch)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    writers = [VideoWriter(os.path.join(args.output_dir,
+                                        f"alpha_{i:02d}.mp4"),
+                           readers[i].fps) for i in range(s)]
+    comp_writers = ([VideoWriter(os.path.join(args.output_dir,
+                                              f"composition_{i:02d}.mp4"),
+                                 readers[i].fps) for i in range(s)]
+                    if args.bg_blur else [])
+    crops = [(min(r.height, args.height), min(r.width, args.width))
+             for r in readers]
+    frames_out = [0] * s
+    for k, (alpha, rgba) in enumerate(pps.convert(rounds())):
+        for i in range(s):
+            if not alive_hist[k][i]:
+                continue
+            ch, cw = crops[i]
+            writers[i].write(alpha[i, :ch, :cw])
+            if comp_writers:
+                comp_writers[i].write(rgba[i, :ch, :cw, :3])
+            frames_out[i] += 1
+    for wr in writers + comp_writers:
+        wr.close()
+    print(json.dumps({"streams": s, "mesh": {"stream": s, "pp": 2},
+                      "frames": frames_out}))
+    return 0
 
 
 def main(argv=None) -> int:
@@ -445,6 +531,9 @@ def main(argv=None) -> int:
             ms_cfg["downsample_ratio"] = args.downsample_ratio
         else:
             ms_cfg.setdefault("downsample_ratio", 0.25)
+        if args.pp:
+            return _run_multistream_pp(args, readers, padded, variables,
+                                       h, w, ms_cfg)
         ms = MultiStreamMatting(len(readers), h, w, variables=variables,
                                 chunk=args.chunk, bg_blur=args.bg_blur,
                                 **ms_cfg)

@@ -330,7 +330,14 @@ class PipelinedStreams:
 
     def flush(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Drain the in-flight round (re-feeds the last round to advance
-        the pipe; its stage-0 work is discarded)."""
+        the pipe; its stage-0 work is discarded). chunk must be 1 — the
+        streaming step/flush pair; convert() owns chunked draining (a
+        chunk>1 dispatch here would feed a K=1 round into the K=chunk
+        compiled program)."""
+        if self.chunk != 1:
+            raise ValueError("flush() is the chunk=1 streaming API; "
+                             "convert() drains the pipeline itself "
+                             "with chunk>1")
         if self._fed == 0 or self._last is None:
             return None
         rgba = self._dispatch(self._last[None])[0]

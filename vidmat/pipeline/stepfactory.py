@@ -382,10 +382,23 @@ def build_serving_body(
                                          interpret=pallas_interpret)
         frame = (frame_u8.astype(jnp.float32) if float_frames
                  else frame_u8.astype(jnp.float32) * (1.0 / 255.0))
-        x = frame.astype(cdtype)
-        if not full:
-            x = resize_bilinear(x, net_h, net_w)
-        return x
+        if full:
+            return frame.astype(cdtype)
+        if pool and frame.shape[1] == net_h * pool \
+                and frame.shape[2] == net_w * pool:
+            # AREA-POOL at integer pools — the fused ingest kernel's
+            # semantics. Round-5 attribution (tools/
+            # analyze_tail_divergence.py): the ENTIRE fused-vs-XLA
+            # serving divergence (mean |dalpha| 0.0054 on the r4
+            # checkpoint) was this downsample — with matched ingest the
+            # two bodies agree to float noise (1.8e-8 mean). The box
+            # prefilter also antialiases where plain bilinear at
+            # pool>=2 does not; pooling accumulates in f32 before the
+            # cdtype cast, like the kernel.
+            n, hh, ww, c = frame.shape
+            x = frame.reshape(n, net_h, pool, net_w, pool, c).mean((2, 4))
+            return x.astype(cdtype)
+        return resize_bilinear(frame.astype(cdtype), net_h, net_w)
 
     # Clean-plate conditioning constant: the plate takes the SAME ingest
     # the frames do (commensurate channels), once, eagerly at build time

@@ -37,14 +37,20 @@ def synthetic_clip_batches(t: int = 4, n: int = 2, h: int = 64, w: int = 64,
 
 
 def synthetic_hard_clip_batches(t: int = 4, n: int = 2, h: int = 64,
-                                w: int = 64, seed: int = 0
+                                w: int = 64, seed: int = 0,
+                                octave2: float = 0.0
                                 ) -> Iterator[Tuple[np.ndarray, np.ndarray,
                                                     np.ndarray]]:
     """Endless iterator of HARD-fixture batches (io/fixtures.
     synthetic_hard_frame): panning multi-octave background, hair-like
     filament strands, a sweeping occluder, sensor noise — the failure
     modes the plain disk fixture cannot expose, with exact analytic
-    alpha. Mixed into plain-family training via train_eval.py --hard."""
+    alpha. Mixed into plain-family training via train_eval.py --hard.
+
+    octave2: fraction of clips that ALSO carry the octave-two realism
+    effects (shutter motion blur with exact time-averaged alpha,
+    exposure drift, JPEG round-trip — io/fixtures HARD2 lineage), with
+    per-clip randomized magnitudes so one checkpoint covers the range."""
     from vidmat.io.fixtures import synthetic_hard_frame
 
     rng = np.random.RandomState(seed + 11)
@@ -55,14 +61,60 @@ def synthetic_hard_clip_batches(t: int = 4, n: int = 2, h: int = 64,
         for b in range(n):
             s = int(rng.randint(0, 10000))
             t0 = rng.rand()
+            kw = {}
+            if octave2 > 0.0 and rng.rand() < octave2:
+                # 1/30 = the batcher's frame interval in t-units; blur
+                # fraction up to a ~250-degree shutter
+                kw = dict(shutter_dt=rng.uniform(0.2, 0.7) / 30.0,
+                          light_drift=rng.uniform(0.0, 0.2),
+                          jpeg=int(rng.choice([0, 60, 75, 90])))
             for ti in range(t):
                 frame, alpha = synthetic_hard_frame(h, w, t0 + ti / 30.0,
-                                                    seed=s)
+                                                    seed=s, **kw)
                 clips[ti, b] = frame.astype(np.float32) / 255.0
                 alphas[ti, b] = alpha
                 # frame-as-foreground convention (fgr loss masked by gt
                 # alpha, so background/occluder pixels are ignored)
                 fgrs[ti, b] = clips[ti, b]
+        yield clips, alphas, fgrs
+
+
+def synthetic_hard_plate_batches(t: int = 4, n: int = 2, h: int = 64,
+                                 w: int = 64, seed: int = 0,
+                                 plate_jitter: float = 0.03,
+                                 octave2: float = 0.5
+                                 ) -> Iterator[Tuple[np.ndarray,
+                                                     np.ndarray,
+                                                     np.ndarray]]:
+    """Endless iterator of HARD clean-plate batches (io/fixtures.
+    synthetic_hard_plate_frame): camouflaged disk AND camouflaged hair
+    filaments over a two-octave background — only plate comparison can
+    find the subject — with per-clip randomized camera drift (plate
+    misregistration). octave2 fraction adds shutter blur + exposure
+    drift. 6-channel clips: [frame | plate], the plate-family input
+    convention (mixed into --plate training via train_eval.py --hard)."""
+    from vidmat.io.fixtures import synthetic_hard_plate_frame
+
+    rng = np.random.RandomState(seed + 23)
+    while True:
+        clips = np.zeros((t, n, h, w, 6), np.float32)
+        alphas = np.zeros((t, n, h, w, 1), np.float32)
+        fgrs = np.zeros((t, n, h, w, 3), np.float32)
+        for b in range(n):
+            s = int(rng.randint(0, 10000))
+            t0 = rng.rand()
+            pan = float(rng.uniform(0.0, 0.05))
+            kw = dict(pan=pan, plate_jitter=plate_jitter)
+            if octave2 > 0.0 and rng.rand() < octave2:
+                kw.update(shutter_dt=rng.uniform(0.2, 0.7) / 30.0,
+                          light_drift=rng.uniform(0.0, 0.15))
+            for ti in range(t):
+                frame, alpha, plate = synthetic_hard_plate_frame(
+                    h, w, t0 + ti / 30.0, seed=s, **kw)
+                clips[ti, b, :, :, :3] = frame.astype(np.float32) / 255.0
+                clips[ti, b, :, :, 3:] = plate.astype(np.float32) / 255.0
+                alphas[ti, b] = alpha
+                fgrs[ti, b] = clips[ti, b, :, :, :3]
         yield clips, alphas, fgrs
 
 
@@ -207,7 +259,8 @@ def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
                              w: int = 64, seed: int = 0,
                              keyframe: str = "off",
                              ambiguous: float = 0.0,
-                             hard: float = 0.0):
+                             hard: float = 0.0,
+                             octave2: float = 0.0):
     """Batches for the trimap-conditioned model: clips carry a 4th input
     channel with the {0, 0.5, 1} trimap derived from gt alpha.
 
@@ -234,7 +287,7 @@ def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
     plain = synthetic_clip_batches(t, n, h, w, seed)
     amb = (synthetic_ambiguous_clip_batches(t, n, h, w, seed)
            if ambiguous > 0.0 else None)
-    hrd = (synthetic_hard_clip_batches(t, n, h, w, seed)
+    hrd = (synthetic_hard_clip_batches(t, n, h, w, seed, octave2=octave2)
            if hard > 0.0 else None)
     while True:
         r = mode_rng.rand()
