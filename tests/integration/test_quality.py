@@ -159,13 +159,22 @@ def test_trimap_checkpoint_trimap_is_load_bearing():
         assert np.mean(mads) < 0.003, (target, np.mean(mads))
 
 
+# Hard-gate seeds, DISJOINT from the QUALITY.md report seeds (987654,
+# 24680, 1357911) and the training-eval seeds — "held-out" stopped doing
+# double duty as the regression pin (VERDICT r4 item 2). Training clip
+# seeds draw from randint(0, 10000), so anything >= 10000 is unseen.
+HARD_GATE_SEEDS = (31415, 271828)
+
+
 def test_hard_suite_gates():
     """Base and fast checkpoints must matte the HARD held-out suite
     (panning multi-octave background, hair filaments, sweeping occluder,
     sensor noise — io/fixtures.synthetic_hard_clip). Before the round-4
     hard-content fine-tune both measured ~0.036 MAD here; the fine-tune
     (train_eval --hard 0.5) brought fast to ~0.012 with the plain score
-    intact — the gate pins that from ever regressing silently."""
+    intact — the gate pins that from ever regressing silently. Round 5:
+    gate seeds moved off the report seeds (measured there: base 0.0102,
+    fast 0.0129)."""
     import numpy as np
 
     from vidmat.api import MattingSession
@@ -181,12 +190,59 @@ def test_hard_suite_gates():
             pytest.skip(f"{name} not present")
         v = load_checkpoint(ckpt, template=init_params(cfg))
         mads = []
-        for seed in (987654, 24680):
+        for seed in HARD_GATE_SEEDS:
             sess = MattingSession(96, 96, variables=v, model_cfg=cfg)
             mads += [mad(sess.step(f)[0], gt)
                      for f, gt in synthetic_hard_clip(96, 96, 8,
                                                       seed=seed)]
         assert np.mean(mads) < 0.02, (name, np.mean(mads))
+
+
+def test_hard_suite_gates_trimap_families():
+    """The trimap families' hard-suite scores were reported but UNGATED
+    (VERDICT r4 missing 1) — they could regress silently. Gates on the
+    disjoint HARD_GATE_SEEDS, each family under its own serving
+    protocol (measured there: trimap per-frame 0.0097, propagation
+    0.0166)."""
+    import numpy as np
+
+    from vidmat.api import MattingSession
+    from vidmat.config import ModelConfig
+    from vidmat.io.fixtures import synthetic_hard_clip
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.pipeline.stepper import ImageStepper
+    from vidmat.train.data import alpha_to_trimap
+    from vidmat.utils.metrics import mad
+
+    # Per-frame trimap family (PR1, non-recurrent): gt-derived trimap on
+    # every frame.
+    ckpt = os.path.join(os.path.dirname(CKPT), "trimap_demo")
+    if not os.path.isdir(ckpt):
+        pytest.skip("trimap_demo not present")
+    cfg = ModelConfig(use_trimap=True, recurrent=False)
+    stepper = ImageStepper(cfg, variables=load_checkpoint(
+        ckpt, template=init_params(cfg)))
+    mads = []
+    for seed in HARD_GATE_SEEDS:
+        mads += [mad(stepper(f, alpha_to_trimap(gt[..., 0]))[0], gt)
+                 for f, gt in synthetic_hard_clip(96, 96, 8, seed=seed)]
+    assert np.mean(mads) < 0.012, np.mean(mads)
+
+    # Keyframe-propagation family: trimap on frame 0 only, the GRU
+    # carries the constraint forward.
+    ckpt = os.path.join(os.path.dirname(CKPT), "trimap_prop_demo")
+    if not os.path.isdir(ckpt):
+        pytest.skip("trimap_prop_demo not present")
+    cfg = ModelConfig(use_trimap=True, space_to_depth=2)
+    v = load_checkpoint(ckpt, template=init_params(cfg))
+    mads = []
+    for seed in HARD_GATE_SEEDS:
+        sess = MattingSession(96, 96, variables=v, model_cfg=cfg)
+        for i, (f, gt) in enumerate(synthetic_hard_clip(96, 96, 8,
+                                                        seed=seed)):
+            tri = alpha_to_trimap(gt[..., 0]) if i == 0 else None
+            mads.append(mad(sess.step(f, trimap=tri)[0], gt))
+    assert np.mean(mads) < 0.02, np.mean(mads)
 
 
 def test_errormap_refiner_checkpoint_improves_upsample():

@@ -24,22 +24,25 @@ if "--platform" not in " ".join(sys.argv):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
-def evaluate_seg(cfg, variables, size: int = 96):
+def evaluate_seg(cfg, variables, size: int = 96, hard: bool = False):
     """Held-out (IoU, matting MAD) through the PUBLIC surfaces: the seg
     session (output='seg') vs the binarized subject coverage, and the
     matting session vs exact alpha — co-training must add segmentation
-    without costing the matte."""
+    without costing the matte. hard=True scores the EXTENDED hard suite
+    (io/fixtures HARD2) instead of the plain fixture."""
     import numpy as np
 
     from vidmat.api import MattingSession
-    from vidmat.io.fixtures import synthetic_clip
+    from vidmat.io.fixtures import HARD2, synthetic_clip, synthetic_hard_clip
     from vidmat.utils.metrics import mad
 
     seg = MattingSession(size, size, variables=variables, model_cfg=cfg,
                          output="seg")
     mat = MattingSession(size, size, variables=variables, model_cfg=cfg)
+    clip = (synthetic_hard_clip(size, size, 8, seed=987654, **HARD2)
+            if hard else synthetic_clip(size, size, 8, seed=987654))
     ious, mads = [], []
-    for f, gt in synthetic_clip(size, size, 8, seed=987654):
+    for f, gt in clip:
         mask, _ = seg.step(f)
         pred = mask[..., 0] > 0.5
         gtb = gt[..., 0] > 0.5
@@ -74,6 +77,16 @@ def main():
                          "available via --head-only 0 / train "
                          "--seg-every.")
     ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--hard", type=float, default=0.0,
+                    help="fraction of clips (matting AND seg batches) "
+                         "from the HARD fixture; hard IoU + hard matting "
+                         "MAD join the held-out report and selection")
+    ap.add_argument("--octave2", type=float, default=0.0,
+                    help="fraction of HARD clips also carrying shutter "
+                         "blur / exposure drift / JPEG")
+    ap.add_argument("--sizes", type=int, nargs="+", default=None,
+                    help="mixed-resolution round-robin (one compiled "
+                         "step per size)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init-from", default="checkpoints/synthetic_demo")
     ap.add_argument("--out", default="checkpoints/seg_demo")
@@ -93,7 +106,9 @@ def main():
     from vidmat.config import ModelConfig
     from vidmat.models.weights import (graft_seg_params, init_params,
                                        load_checkpoint, save_checkpoint)
-    from vidmat.train.data import synthetic_clip_batches, synthetic_seg_batches
+    from vidmat.train.data import (synthetic_clip_batches,
+                                   synthetic_hard_clip_batches,
+                                   synthetic_seg_batches)
     from vidmat.train.loop import (TrainState, make_seg_train_step,
                                    make_train_step)
 
@@ -141,18 +156,28 @@ def main():
     state = TrainState(variables=variables,
                        opt_state=opt.init(variables["params"]), step=0)
 
-    mat_it = synthetic_clip_batches(t=args.clip_len, n=args.batch,
-                                    h=args.size, w=args.size,
-                                    seed=args.seed)
-    seg_it = synthetic_seg_batches(t=args.clip_len, n=args.batch,
-                                   h=args.size, w=args.size,
-                                   seed=args.seed + 17)
+    sizes = args.sizes or [args.size]
+    mat_its = [synthetic_clip_batches(t=args.clip_len, n=args.batch,
+                                      h=s, w=s, seed=args.seed + 31 * k)
+               for k, s in enumerate(sizes)]
+    hard_its = ([synthetic_hard_clip_batches(
+        t=args.clip_len, n=args.batch, h=s, w=s,
+        seed=args.seed + 31 * k, octave2=args.octave2)
+        for k, s in enumerate(sizes)] if args.hard > 0 else None)
+    seg_its = [synthetic_seg_batches(t=args.clip_len, n=args.batch,
+                                     h=s, w=s, seed=args.seed + 17 + 31 * k,
+                                     hard=args.hard, octave2=args.octave2)
+               for k, s in enumerate(sizes)]
+    import numpy as _np
+
+    hrng = _np.random.RandomState(args.seed + 5)
     best = float("inf")
     t0 = time.time()
     for i in range(args.steps):
+        k = i % len(sizes)  # round-robin over sizes
         if args.head_only or (args.seg_every > 0
                               and i % args.seg_every == args.seg_every - 1):
-            clips, gt_mask = next(seg_it)
+            clips, gt_mask = next(seg_its[k])
             state, metrics = seg_fn(state, jnp.asarray(clips),
                                     jnp.asarray(gt_mask))
             if args.head_only:
@@ -164,7 +189,9 @@ def main():
                                "batch_stats": bn0},
                     opt_state=state.opt_state, step=state.step)
         else:
-            clips, gt_a, gt_f = next(mat_it)
+            src = (hard_its if hard_its is not None
+                   and hrng.rand() < args.hard else mat_its)
+            clips, gt_a, gt_f = next(src[k])
             state, metrics = step_fn(state, jnp.asarray(clips),
                                      jnp.asarray(gt_a), jnp.asarray(gt_f))
         if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
@@ -174,10 +201,15 @@ def main():
                    "heldout_iou": round(iou, 5),
                    "heldout_mad": round(mad_, 5),
                    "wall_s": round(time.time() - t0, 1)}
-            print(json.dumps(rec), flush=True)
             # both capabilities in one score: IoU shortfall + matting MAD
             # (same [0, 1] scale; 1-iou dominates until seg works)
             score = (1.0 - iou) + 10.0 * mad_
+            if args.hard > 0:
+                hiou, hmad = evaluate_seg(cfg, state.variables, hard=True)
+                rec["heldout_hard_iou"] = round(hiou, 5)
+                rec["heldout_hard_mad"] = round(hmad, 5)
+                score += (1.0 - hiou) + 10.0 * hmad
+            print(json.dumps(rec), flush=True)
             if score < best:
                 best = score
                 save_checkpoint(os.path.abspath(args.out), state.variables)

@@ -309,7 +309,8 @@ def synthetic_trimap_batches(t: int = 1, n: int = 2, h: int = 64,
         yield clips4, alphas, fgrs
 
 def synthetic_seg_batches(t: int = 4, n: int = 2, h: int = 64, w: int = 64,
-                          seed: int = 0
+                          seed: int = 0, hard: float = 0.0,
+                          octave2: float = 0.0
                           ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Endless iterator of segmentation co-training batches:
     (clips (T,N,H,W,3), gt_mask (T,N,H,W,1) float {0,1}).
@@ -319,7 +320,15 @@ def synthetic_seg_batches(t: int = 4, n: int = 2, h: int = 64, w: int = 64,
     binarized coverage. A real adapter plugs any (frames, binary mask)
     source into the same iterator contract (e.g. ClipDirDataset's pha
     thresholded at 0.5).
+
+    hard: fraction of clips drawn from the HARD fixture (pan / hair /
+    occluder / noise; masks binarize the hard alpha — filaments mostly
+    vanish under the 0.5 threshold, as a real segmentation label would).
+    octave2: of those, the fraction also carrying shutter blur /
+    exposure drift / JPEG (io/fixtures octave-two effects).
     """
+    from vidmat.io.fixtures import synthetic_hard_frame
+
     rng = np.random.RandomState(seed)
     while True:
         clips = np.zeros((t, n, h, w, 3), np.float32)
@@ -327,8 +336,19 @@ def synthetic_seg_batches(t: int = 4, n: int = 2, h: int = 64, w: int = 64,
         for b in range(n):
             s = int(rng.randint(0, 10000))
             t0 = rng.rand()
+            use_hard = hard > 0.0 and rng.rand() < hard
+            kw = {}
+            if use_hard and octave2 > 0.0 and rng.rand() < octave2:
+                kw = dict(shutter_dt=rng.uniform(0.2, 0.7) / 30.0,
+                          light_drift=rng.uniform(0.0, 0.2),
+                          jpeg=int(rng.choice([0, 60, 75, 90])))
             for ti in range(t):
-                frame, alpha = synthetic_frame(h, w, t0 + ti / 30.0, seed=s)
+                if use_hard:
+                    frame, alpha = synthetic_hard_frame(
+                        h, w, t0 + ti / 30.0, seed=s, **kw)
+                else:
+                    frame, alpha = synthetic_frame(h, w, t0 + ti / 30.0,
+                                                   seed=s)
                 clips[ti, b] = frame.astype(np.float32) / 255.0
                 masks[ti, b] = (alpha > 0.5).astype(np.float32)
         yield clips, masks
