@@ -229,6 +229,10 @@ def main():
                     help="checkpoint to fine-tune from")
     ap.add_argument("--laplacian", type=float, default=0.0,
                     help="Laplacian-pyramid alpha loss weight")
+    ap.add_argument("--boundary", type=float, default=0.0,
+                    help="edge-band-restricted alpha L1 weight (the "
+                         "unknown-region emphasis; round-5 plate "
+                         "diagnosis: camo error is ~100%% boundary-band)")
     ap.add_argument("--ambiguous", type=float, default=0.0,
                     help="fraction of trimap batches drawn from the "
                          "twin-disk AMBIGUOUS task (only the trimap says "
@@ -309,7 +313,8 @@ def main():
         0.0, args.lr, warmup, args.steps, end_value=args.lr * 1e-2)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     step_fn = make_train_step(cfg, optimizer=opt,
-                              laplacian_weight=args.laplacian)
+                              laplacian_weight=args.laplacian,
+                              boundary_weight=args.boundary)
 
     variables = init_params(cfg, seed=args.seed,
                             height=args.size, width=args.size)

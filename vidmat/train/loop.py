@@ -46,7 +46,8 @@ def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
 def make_train_step(cfg: ModelConfig, optimizer=None,
                     mesh: Optional[Mesh] = None,
                     remat: bool = True,
-                    laplacian_weight: float = 0.0):
+                    laplacian_weight: float = 0.0,
+                    boundary_weight: float = 0.0):
     """Build the jitted train step.
 
     train_step(state, clips, gt_alpha, gt_fgr) -> (state, metrics)
@@ -81,7 +82,8 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
     def loss_fn(params, batch_stats, clips, gt_alpha, gt_fgr):
         alphas, fgrs, new_stats = forward_clip(params, batch_stats, clips)
         loss, terms = matting_loss(alphas, fgrs, gt_alpha, gt_fgr, clips,
-                                   laplacian_weight=laplacian_weight)
+                                   laplacian_weight=laplacian_weight,
+                                   boundary_weight=boundary_weight)
         return loss, (terms, new_stats)
 
     def train_step(state: TrainState, clips, gt_alpha, gt_fgr):

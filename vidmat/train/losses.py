@@ -78,7 +78,8 @@ def matting_loss(pred_alpha: jax.Array, pred_fgr: jax.Array,
                  gt_alpha: jax.Array, gt_fgr: Optional[jax.Array],
                  frames: jax.Array,
                  temporal_axis: bool = True,
-                 laplacian_weight: float = 0.0) -> tuple[jax.Array, Dict]:
+                 laplacian_weight: float = 0.0,
+                 boundary_weight: float = 0.0) -> tuple[jax.Array, Dict]:
     """Compute the composite matting loss.
 
     pred_alpha/gt_alpha: (T, N, H, W, 1); pred_fgr: (T, N, H, W, 3)
@@ -87,6 +88,13 @@ def matting_loss(pred_alpha: jax.Array, pred_fgr: jax.Array,
     frames: (T, N, H, W, 3) input RGB.
     laplacian_weight: weight for the multi-scale Laplacian-pyramid alpha
     term (0 disables it — it costs a pyramid fwd+bwd per step).
+    boundary_weight: weight for an extra L1 term restricted to the
+    dilated edge band of the ground truth (the unknown-region emphasis
+    of the trimap-matting literature [DOMAIN]). Motivation (round-5
+    plate diagnosis): on camouflage content the error concentrates
+    ~100% in the boundary band (interior/background near-perfect) —
+    the global mean L1 barely moves when the band sharpens, so the
+    optimizer parks at a fuzzy-median edge.
     Returns (scalar loss, dict of unweighted terms).
     """
     t, n, h, w, _ = pred_alpha.shape
@@ -122,6 +130,18 @@ def matting_loss(pred_alpha: jax.Array, pred_fgr: jax.Array,
         l_lap = laplacian_pyramid_loss(pa, ga)
         total = total + laplacian_weight * l_lap
         terms["laplacian"] = l_lap
+    if boundary_weight > 0.0:
+        # Edge band = 5x5 max-pool dilation of the non-saturated gt
+        # region; the band-mean L1 weights every edge pixel equally no
+        # matter how small the band is relative to the frame.
+        band = ((ga > 0.02) & (ga < 0.98)).astype(pa.dtype)
+        band = jax.lax.reduce_window(band, jnp.zeros((), pa.dtype),
+                                     jax.lax.max, (1, 5, 5, 1),
+                                     (1, 1, 1, 1), "SAME")
+        l_band = (jnp.sum(jnp.abs(pa - ga) * band)
+                  / jnp.maximum(jnp.sum(band), 1.0))
+        total = total + boundary_weight * l_band
+        terms["boundary"] = l_band
     return total, terms
 
 def segmentation_loss(logits: jax.Array, gt_mask: jax.Array
