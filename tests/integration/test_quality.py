@@ -283,6 +283,59 @@ def test_errormap_refiner_checkpoint_improves_upsample():
     assert mad(np.asarray(refined), gt[None]) < mad(plain, gt[None])
 
 
+def test_errormap_beats_guided_on_hard_content():
+    """The error-map patch path must EARN its preset
+    (video_1080p_errormap): on hair-filament hard content its
+    unknown-band MAD must beat the guided tail's (round-5 measurement
+    at 1088x1920: errormap 0.041 vs guided 0.070 — the guided filter
+    transfers the textured background's edges into the matte; VERDICT
+    r4 item 3 'prove it or retire it'). Relative gate at a CPU-feasible
+    resolution, disjoint gate seed."""
+    ckpt = os.path.join(os.path.dirname(CKPT), "errormap_demo")
+    if not (os.path.isdir(ckpt) and os.path.isdir(CKPT)):
+        pytest.skip("refiner/base checkpoints not present")
+    import jax
+    import jax.numpy as jnp
+
+    from vidmat.config import ModelConfig, RefineConfig
+    from vidmat.io.fixtures import synthetic_hard_clip
+    from vidmat.models.matting_net import MattingNetwork
+    from vidmat.models.weights import init_params, load_checkpoint
+    from vidmat.pipeline.stepfactory import build_serving_body
+    from vidmat.pipeline.video import _load_default_refiner
+    from vidmat.refine.errormap import ErrorMapRefiner
+    from vidmat.train.data import alpha_to_trimap
+
+    cfg = ModelConfig()
+    net = MattingNetwork(cfg)
+    v = load_checkpoint(CKPT, template=init_params(cfg))
+    h = w = 256
+    n_patches = 64  # 256/16 x 256/16 = 256 patch slots; refine a quarter
+    refiner = ErrorMapRefiner(num_patches=n_patches, patch_size=16)
+    rv = _load_default_refiner(refiner, h, w, h // 4, w // 4)
+    bodies = {}
+    for mode, kw in (("guided", {}),
+                     ("errormap", dict(refiner=(refiner, rv)))):
+        body, plan = build_serving_body(
+            net, cfg, RefineConfig(mode=mode, errormap_patches=n_patches),
+            h, w, 0.25, cdtype=jnp.float32, bg=None, use_pallas=False,
+            float_output=True, **kw)
+        bodies[mode] = (jax.jit(body), plan.make_state(1))
+
+    unk = {m: [] for m in bodies}
+    for frame, gt in synthetic_hard_clip(h, w, 4, seed=31415):
+        f = jnp.asarray(frame)[None]
+        band = alpha_to_trimap(gt[..., 0])[..., 0] == 0.5
+        for m in bodies:
+            body, st = bodies[m]
+            (alpha, _), st = body(v, f, st)
+            bodies[m] = (body, st)
+            d = np.abs(np.asarray(alpha)[0, ..., 0] - gt[..., 0])
+            unk[m].append(d[band].mean())
+    em, gd = np.mean(unk["errormap"]), np.mean(unk["guided"])
+    assert em < gd, (em, gd)
+
+
 def test_fast_s2d_checkpoint_quality():
     """The serving-optimized s2d=2 variant's trained checkpoint must matte
     held-out clips within ~3x of its trained held-out MAD (0.0009, round-3

@@ -61,6 +61,7 @@ def _add_video(sub):
                         "coarse frame's mean abs delta <= EPS in [0,1] "
                         "units (e.g. 0.002); ~2x on static content")
     p.add_argument("--preset", choices=["clip_480p", "video_1080p",
+                                        "video_1080p_errormap",
                                         "video_4k"], default=None)
     p.add_argument("--checkpoint", help="orbax checkpoint dir")
     p.add_argument("--trimap", default=None, metavar="SOURCE",
@@ -153,6 +154,7 @@ def _add_export(sub):
     p.add_argument("--height", type=int, required=True)
     p.add_argument("--width", type=int, required=True)
     p.add_argument("--preset", choices=["clip_480p", "video_1080p",
+                                        "video_1080p_errormap",
                                         "video_4k"], default=None)
     p.add_argument("--checkpoint", help="orbax checkpoint dir (default: "
                                         "the shipped weights for the config)")

@@ -165,6 +165,26 @@ def preset_video_1080p() -> tuple[ModelConfig, PipelineConfig]:
         refine=RefineConfig(mode="guided"))
 
 
+def preset_video_1080p_errormap() -> tuple[ModelConfig, PipelineConfig]:
+    """1080p recurrent + ERROR-MAP patch refinement (BASELINE.json:5
+    "error-map upsampling", BGMv2 lineage) — the quality-first variant
+    for hair-heavy / textured-background content.
+
+    Round-5 measurement (tools/eval_errormap.py, hard hair-filament
+    fixture at 1088x1920, ds=0.25, 10 frames): error-map MAD 0.0203 /
+    unknown-band MAD 0.0410 / unknown-band Grad 24.5k vs guided 0.0304 /
+    0.0705 / 29.6k — the guided filter transfers the textured
+    background's edges into the matte (guide leakage) exactly on the
+    content patch refinement exists for. Gated vs guided in
+    tests/integration/test_quality.py. Uses the s2d=1 base family (the
+    shipped errormap_demo refiner was trained against its coarse
+    output); throughput is XLA-tail class, not the fused-kernel class —
+    pick video_1080p when speed dominates."""
+    return ModelConfig(conv_impl="planar"), PipelineConfig(
+        downsample_ratio=0.25, chunk_size=4,
+        refine=RefineConfig(mode="errormap"))
+
+
 def preset_video_4k() -> tuple[ModelConfig, PipelineConfig]:
     """4K tiled inference with overlap blending (BASELINE.json:10).
     Same serving model as video_1080p (s2d=2 + planar)."""
@@ -191,6 +211,7 @@ PRESETS = {
     "pr1_image": preset_pr1_image,
     "clip_480p": preset_clip_480p,
     "video_1080p": preset_video_1080p,
+    "video_1080p_errormap": preset_video_1080p_errormap,
     "video_4k": preset_video_4k,
     "multistream": preset_multistream,
 }

@@ -330,6 +330,17 @@ class VideoPipeline:
             bg = None
         refiner = None
         if self._refiner is not None and (net_h, net_w) != (h, w):
+            # Clamp the patch budget to the frame's patch grid: the
+            # errormap presets carry 1080p-sized budgets (256), and
+            # top_k over a smaller frame's patch slots would fail at
+            # trace time (e.g. 96px -> 36 slots).
+            ps = self._refiner.patch_size
+            slots = (h // ps) * (w // ps)
+            if self._refiner.num_patches > slots:
+                from vidmat.refine.errormap import ErrorMapRefiner
+
+                self._refiner = ErrorMapRefiner(
+                    num_patches=max(1, slots // 2), patch_size=ps)
             if self._refiner_vars is None:
                 # Never run errormap refinement with random weights: the
                 # patch residuals would silently DEGRADE the alpha (ADVICE
