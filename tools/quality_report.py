@@ -196,10 +196,10 @@ def main() -> int:
         "| checkpoint | model | MAD | MSE | SAD | Grad | Conn | dtSSD "
         "| hMAD | hGrad | hdtSSD |\n"
         "|---|---|---|---|---|---|---|---|---|---|---|\n")
-    desc = {"synthetic_demo": "base (s2d=1, recurrent; r4 hard-content "
-                              "fine-tune)",
-            "fast_demo": "serving (s2d=2, recurrent; r4 hard-content "
-                         "fine-tune)",
+    desc = {"synthetic_demo": "base (s2d=1, recurrent; r5 octave-two "
+                              "hard fine-tune)",
+            "fast_demo": "serving (s2d=2, recurrent; r5 octave-two "
+                         "hard fine-tune)",
             "trimap_demo": "trimap-conditioned (PR1, non-recurrent; r4 "
                            "mixed-res + ambiguous-twin retrain)",
             "trimap_prop_demo": "keyframe trimap propagation "
@@ -207,7 +207,8 @@ def main() -> int:
                                 "only; r4 hard-content fine-tune)",
             "plate_demo": "clean-plate conditioned (s2d=2, recurrent; "
                           "CAMOUFLAGED clips + true plate — only the "
-                          "plate can find the subject)",
+                          "plate can find the subject; r5 full retrain "
+                          "w/ hard-plate mixing, 19.4 -> 7.4)",
             "seg_demo": "base + co-trained seg head (matting metrics "
                         "here; mask IoU gated >=0.95 in "
                         "test_seg_serving)"}
