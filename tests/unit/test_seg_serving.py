@@ -136,3 +136,44 @@ def test_seg_checkpoint_quality_gate():
         mads.append(mad(mat.step(f)[0], gt))
     assert np.mean(ious) >= 0.95, np.mean(ious)
     assert np.mean(mads) < 0.01, np.mean(mads)
+
+
+def test_seg_checkpoint_hard_suite_gate():
+    """Hard-suite seg gates on seeds DISJOINT from the report seeds
+    (VERDICT r4 item 2): (a) the co-trained head must segment the
+    EXTENDED hard suite (io/fixtures HARD2 — pan, hair, occluder,
+    noise, shutter blur, exposure drift, JPEG); the r4 head measured
+    IoU 0.49 here, the r5 co-train from the hard-trained trunk 0.87.
+    (b) The co-trained trunk's matting must stay within a bounded
+    factor of the BASE checkpoint on the same clip (the co-training
+    bargain, pinned relative so it tracks base improvements; measured
+    ratio ~4.2x)."""
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "checkpoints", "seg_demo")
+    base_ckpt = os.path.join(os.path.dirname(ckpt), "synthetic_demo")
+    if not (os.path.isdir(ckpt) and os.path.isdir(base_ckpt)):
+        pytest.skip("seg_demo/base checkpoints not present")
+    from vidmat.api import MattingSession
+    from vidmat.io.fixtures import HARD2, synthetic_clip, synthetic_hard_clip
+    from vidmat.models.weights import seg_default_variables
+    from vidmat.utils.metrics import mad
+
+    cfg = ModelConfig()
+    seg_vars = seg_default_variables(cfg)
+    ious = []
+    seg_mads, base_mads = [], []
+    for seed in (31415, 271828):
+        seg = MattingSession(96, 96, model_cfg=cfg, output="seg")
+        mat = MattingSession(96, 96, variables=seg_vars, model_cfg=cfg)
+        base = MattingSession(96, 96, model_cfg=cfg)  # auto-loads base
+        for f, gt in synthetic_hard_clip(96, 96, 8, seed=seed, **HARD2):
+            mask, _ = seg.step(f)
+            pred = mask[..., 0] > 0.5
+            gtb = gt[..., 0] > 0.5
+            ious.append((pred & gtb).sum() / max((pred | gtb).sum(), 1))
+        for f, gt in synthetic_clip(96, 96, 8, seed=seed):
+            seg_mads.append(mad(mat.step(f)[0], gt))
+            base_mads.append(mad(base.step(f)[0], gt))
+    assert np.mean(ious) >= 0.80, np.mean(ious)
+    ratio = np.mean(seg_mads) / max(np.mean(base_mads), 1e-6)
+    assert ratio < 8.0, (np.mean(seg_mads), np.mean(base_mads))
