@@ -13,9 +13,12 @@ from vidmat.utils.profiling import FrameTimer
 
 
 def test_presets_exist_for_every_ladder_rung():
-    # BASELINE.json:6-12 — five configs
+    # BASELINE.json:6-12 — five ladder configs, plus the round-5
+    # errormap serving preset (refine.mode="errormap" earned its place
+    # vs the guided tail on hair-heavy hard content; see QUALITY.md).
     assert set(PRESETS) == {"pr1_image", "clip_480p", "video_1080p",
-                            "video_4k", "multistream"}
+                            "video_4k", "multistream",
+                            "video_1080p_errormap"}
     for name, f in PRESETS.items():
         out = f()
         assert len(out) in (2, 3)
